@@ -1,0 +1,173 @@
+"""Way-geometry assembly — the engine's flagship join.
+
+Reimplements the reference's only join + aggregation (O12/O13): the
+batched sqlite index-nested-loop lookup of way refs
+(osm/point_database.cc:48-112, IN-blocks of 128, positional scatter,
+all-or-nothing integrity) becomes a distributed equi-join +
+order-preserving aggregation:
+
+    ways --classify--> posexplode(refs) --JOIN nodes(id,lon,lat)-->
+    groupBy(way) --require count == n_refs--> sorted coord arrays
+
+Semantics preserved:
+
+- duplicate refs (closed rings) fan out correctly — every *position*
+  gets its coords (point_database.cc:88-95) because we join the
+  exploded (pos, ref) rows, not distinct refs;
+- if ANY ref is unresolved the way is dropped entirely
+  (point_database.cc:104-109) — inner join + ``count(*) == n_refs``;
+- coordinate order equals ref order (positional arrays x[i], y[i],
+  handler.cc:117-119) — ``array_sort(collect_list(struct(pos,...)))``.
+
+Scale notes (100 TB design point):
+
+- The general path is pure Catalyst: the ref→node join shuffles on
+  ``ref`` (sort-merge at scale; AQE flips to broadcast when the staged
+  node projection fits under the threshold) and the reassembly
+  shuffles on ``way_id``. Map-side partial ``collect_list`` runs
+  before the second shuffle.
+- ``assemble_ways_mapside`` is the zero-shuffle fast path for when the
+  staged nodes fit in executor memory (broadcast dict of two numpy
+  arrays): one ``mapInPandas`` pass does lookup + assembly in place,
+  no explode, no shuffle at all. At 10^12-node scale use the general
+  path; the engine picks by a size estimate.
+- Mega-way skew (5k-20k refs): the exploded join keys are node refs
+  (well distributed), so the join itself doesn't skew on way id; the
+  reassembly groupBy can — AQE skew handling plus the two-stage salted
+  variant in ``osm2shp_spark.operators.skew`` cover it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2shp_spark.operators.classify import classify_ways, staged_nodes
+
+#: Output schema shared by both paths (parallel coord arrays mirror the
+#: reference's double x[], y[] — SURVEY §1.2 — and are Arrow-friendly).
+ASSEMBLED_SCHEMA = (
+    "way_id BIGINT, layer STRING, kind STRING, n_pts INT, "
+    "lons ARRAY<DOUBLE>, lats ARRAY<DOUBLE>"
+)
+
+
+def assemble_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """General (pure-Catalyst) assembly path.
+
+    Returns (way_id, layer, kind, n_pts, lons, lats) for every way that
+    routes to a layer and fully resolves.
+    """
+    classified = classify_ways(ways)
+    exploded = classified.select(
+        F.col("id").alias("way_id"),
+        "layer",
+        "kind",
+        "n_refs",
+        F.posexplode("refs").alias("pos", "ref"),
+    )
+    build = staged_nodes(nodes)
+    joined = exploded.join(build, exploded.ref == build.id, "inner").select(
+        "way_id", "layer", "kind", "n_refs", "pos", "lon", "lat"
+    )
+    return (
+        joined.groupBy("way_id", "layer", "kind", "n_refs")
+        .agg(
+            F.count(F.lit(1)).alias("n_resolved"),
+            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"),
+        )
+        .filter(F.col("n_resolved") == F.col("n_refs"))
+        .select(
+            "way_id",
+            "layer",
+            "kind",
+            F.col("n_refs").cast("int").alias("n_pts"),
+            F.expr("transform(pts, p -> p.lon)").alias("lons"),
+            F.expr("transform(pts, p -> p.lat)").alias("lats"),
+        )
+    )
+
+
+def assemble_ways_mapside(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Zero-shuffle fast path: broadcast node coords, assemble in place.
+
+    Valid when the staged node projection fits in executor memory
+    (id/lon/lat as three numpy arrays ≈ 24 B/node → ~4 GB per 10^8
+    nodes). No explode, no join shuffle, no groupBy — each ways
+    partition streams through one Arrow-batched ``mapInPandas``.
+    """
+    spark = nodes.sparkSession
+    build = staged_nodes(nodes).toPandas()
+    ids = build["id"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    bc = spark.sparkContext.broadcast(
+        (
+            ids[order],
+            build["lon"].to_numpy(np.float64)[order],
+            build["lat"].to_numpy(np.float64)[order],
+        )
+    )
+
+    classified = classify_ways(ways).select(
+        F.col("id").alias("way_id"), "layer", "kind", "n_refs", "refs"
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sorted_ids, lons, lats = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            refs_flat = np.concatenate(pdf["refs"].to_numpy())
+            lens = pdf["refs"].str.len().to_numpy(np.int64)
+            # vectorized lookup: searchsorted into the sorted id array
+            idx = np.searchsorted(sorted_ids, refs_flat)
+            idx_clipped = np.minimum(idx, len(sorted_ids) - 1)
+            hit = sorted_ids[idx_clipped] == refs_flat
+            # all-or-nothing per way (point_database.cc:104-109)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            ok = np.array(
+                [hit[bounds[i] : bounds[i + 1]].all() for i in range(len(pdf))]
+            )
+            if not ok.any():
+                continue
+            way_lons = lons[idx_clipped]
+            way_lats = lats[idx_clipped]
+            out = pdf.loc[ok, ["way_id", "layer", "kind"]].reset_index(drop=True)
+            out["n_pts"] = lens[ok].astype(np.int32)
+            out["lons"] = [
+                way_lons[bounds[i] : bounds[i + 1]] for i in np.flatnonzero(ok)
+            ]
+            out["lats"] = [
+                way_lats[bounds[i] : bounds[i + 1]] for i in np.flatnonzero(ok)
+            ]
+            yield out[["way_id", "layer", "kind", "n_pts", "lons", "lats"]]
+
+    return classified.mapInPandas(assemble, schema=ASSEMBLED_SCHEMA)
+
+
+def assembly_counters(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """O17 observability counters as one aggregate row (handler.cc:59-61,
+    84-85,108-109 — upgraded from stderr prints to a queryable result).
+
+    Columns: processed_ways, routed_ways (matched a layer, pre-join),
+    exported_ways (survived resolution), dropped_unresolved.
+    """
+    routed = classify_ways(ways)
+    exported = assemble_ways(nodes, ways)
+    return (
+        ways.agg(F.count(F.lit(1)).alias("processed_ways"))
+        .crossJoin(routed.agg(F.count(F.lit(1)).alias("routed_ways")))
+        .crossJoin(exported.agg(F.count(F.lit(1)).alias("exported_ways")))
+        .select(
+            "processed_ways",
+            "routed_ways",
+            "exported_ways",
+            (F.col("routed_ways") - F.col("exported_ways")).alias(
+                "dropped_unresolved"
+            ),
+        )
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode testing uses ``local[N]``; on a real cluster the same confs
+apply (AQE, skew-join, Arrow). Tests call :func:`get_spark` once per
+session (pytest fixture scope=session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Shuffle width sized to local cores; a cluster deployment overrides
+    # via spark-submit --conf (rule of thumb: 2-3x total cores).
+    "spark.sql.shuffle.partitions": "32",
+    # Arrow transfer for pandas UDFs / toPandas (the only Python paths).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamps vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast policy: node build sides at sandbox scale always fit;
+    # AQE converts to broadcast at runtime when stats allow anyway.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "48g",
+}
+
+
+def get_spark(
+    app_name: str = "osm2shp_spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    Pass e.g. ``local[8]`` explicitly for scaling-efficiency runs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

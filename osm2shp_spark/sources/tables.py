@@ -1,0 +1,56 @@
+"""Table I/O: driver parquet registration + Iceberg-shaped table layer.
+
+The sandbox has no Iceberg runtime jar, so "Iceberg tables" are Parquet
+directories plus a self-maintained manifest table (see
+``osm2shp_spark.plans.manifest``) with Iceberg-like layout (partition
+dirs, snapshot id, per-file row counts / digests). All table I/O goes
+through this module so a real Iceberg catalog can be swapped in via
+Spark conf (``spark.read.format("iceberg")``) without touching
+operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver-provided relational tables (TESTDATA.md).
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table (swap point for a real Iceberg catalog)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_driver_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register all driver parquet files as temp views.
+
+    Mirrors the DuckDB oracle environment, where the same names are
+    pre-registered views — shared SQL text then runs on both engines.
+    """
+    for name in DRIVER_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Layer-partitioned Parquet write (the reference's one-file-per-layer
+    sink, osm/shapefile.cc:9-13, as partition directories)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
