@@ -1,0 +1,99 @@
+"""Arrow-vectorized pandas UDFs binding the NumPy kernels to Spark
+columns (N1/N2 cell assignment, geometry digests). Everything here is
+batch-vectorized — no per-row Python (BASELINE input_hint).
+
+S2 ids are uint64; Spark LongType stores their two's-complement view
+(bit pattern preserved; equality joins and grouping are unaffected).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm2shp_spark.functions import geometry as G
+from osm2shp_spark.functions import hexgrid, s2
+
+#: the north rule's hex resolution family
+HEX_RESOLUTIONS = (7, 8, 9, 10, 11, 12)
+
+
+def s2_cell_udf(level: int):
+    @F.pandas_udf(T.LongType())
+    def _f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ids = s2.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(ids.astype(np.int64))
+
+    return _f
+
+
+def s2_token_udf(level: int):
+    @F.pandas_udf(T.StringType())
+    def _f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ids = s2.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(s2.token(ids))
+
+    return _f
+
+
+def hex_cell_udf(res: int):
+    @F.pandas_udf(T.LongType())
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            hexgrid.hex_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        )
+
+    return _f
+
+
+def with_point_cells(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    s2_level: int = 12,
+    hex_resolutions: tuple[int, ...] = HEX_RESOLUTIONS,
+) -> DataFrame:
+    """Add the standard cell-index column family to a point table:
+    ``s2_cell`` + ``s2_token`` at ``s2_level``, ``hex_r{res}`` per res.
+    """
+    out = df.withColumn(
+        "s2_cell", s2_cell_udf(s2_level)(F.col(lat_col), F.col(lon_col))
+    ).withColumn("s2_token", s2_token_udf(s2_level)(F.col(lat_col), F.col(lon_col)))
+    for res in hex_resolutions:
+        out = out.withColumn(
+            f"hex_r{res}", hex_cell_udf(res)(F.col(lon_col), F.col(lat_col))
+        )
+    return out
+
+
+@F.pandas_udf(T.BinaryType())
+def wkb_udf(kind: pd.Series, lons: pd.Series, lats: pd.Series) -> pd.Series:
+    out = [
+        G.wkb_for(k, lo, la)
+        for k, lo, la in zip(kind, lons, lats)
+    ]
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def geom_digest_udf(kind: pd.Series, lons: pd.Series, lats: pd.Series) -> pd.Series:
+    out = [
+        G.geometry_digest(G.wkb_for(k, lo, la))
+        for k, lo, la in zip(kind, lons, lats)
+    ]
+    return pd.Series(out)
+
+
+def with_geometry_meta(df: DataFrame) -> DataFrame:
+    """Add wkb + sha1 digest + bbox columns to an assembled-ways table."""
+    return (
+        df.withColumn("wkb", wkb_udf("kind", "lons", "lats"))
+        .withColumn("geom_digest", geom_digest_udf("kind", "lons", "lats"))
+        .withColumn("lon_min", F.array_min("lons"))
+        .withColumn("lon_max", F.array_max("lons"))
+        .withColumn("lat_min", F.array_min("lats"))
+        .withColumn("lat_max", F.array_max("lats"))
+    )

@@ -1,0 +1,285 @@
+"""Spatial joins (N3/N4/N5): point-in-polygon, exact kNN, tile↔vector.
+
+Design (SURVEY §4.2): spatial predicates are translated into
+*relational* ones — an equi-join on grid tile ids as the prefilter,
+then an exact vectorized refine — so Catalyst plans, shuffles and
+AQE-skew-handles them like any other join. No custom strategy needed.
+
+Two cell schemes coexist:
+
+- the **flat grid** (``tile_x = floor(lon/ts)``, ``tile_y =
+  floor(lat/ts)``) drives join *prefilters* — its covering is a
+  trivially exact superset (rectangle of tiles over a bbox), and it is
+  portable to the DuckDB oracle, so the whole join is value-checked;
+- the **hierarchical cells** (S2 tokens + hex res 7-12,
+  ``functions.udfs.with_point_cells``) are the index/rollup columns
+  the north rule mandates; the adaptive-split operator re-indexes hot
+  tiles at finer resolution.
+
+Exactness: PIP refines with the ray-cast kernel; kNN is *provably*
+exact — after the 3x3-tile candidate pass, any point whose kth
+neighbor distance exceeds the guaranteed-covered radius (distance to
+the explored-region boundary) falls back to a full broadcast search.
+The oracle comparison (vs brute force SQL) checks this end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2shp_spark.functions import geometry as G
+
+#: default tile size in degrees (prefilter grid)
+TILE_SIZE = 0.05
+#: cos(47.5 deg) — fixed reference latitude of the local metric; the
+#: full repr literal is shared verbatim with the SQL oracles so both
+#: engines compute bit-identical distances.
+COS_REF = 0.6755902076156602
+COS_REF2 = COS_REF * COS_REF
+
+
+def dlit(x: float) -> str:
+    """DOUBLE literal portable to both Spark and DuckDB (Spark parses
+    bare decimals as DECIMAL; an exponent forces DOUBLE in both)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def dist2_expr(lon_a: str, lat_a: str, lon_b: str, lat_b: str) -> str:
+    """Squared equirectangular distance, identical text for Spark and
+    DuckDB (pure arithmetic — no trig at query time, so IEEE-identical
+    across engines; see COS_REF)."""
+    return (
+        f"(({lon_a} - {lon_b}) * ({lon_a} - {lon_b}) * {dlit(COS_REF2)}"
+        f" + ({lat_a} - {lat_b}) * ({lat_a} - {lat_b}))"
+    )
+
+
+def tile_expr(col: str, tile_size: float = TILE_SIZE) -> str:
+    return f"CAST(floor({col} / {dlit(tile_size)}) AS BIGINT)"
+
+
+def with_tiles(
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", tile_size: float = TILE_SIZE
+) -> DataFrame:
+    return df.withColumn("tile_x", F.expr(tile_expr(lon_col, tile_size))).withColumn(
+        "tile_y", F.expr(tile_expr(lat_col, tile_size))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N3: point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_cols: tuple[str, ...],
+    poly_cols: tuple[str, ...],
+    tile_size: float = TILE_SIZE,
+) -> DataFrame:
+    """Inner spatial join: rows of ``points`` inside rows of ``polygons``.
+
+    ``points`` needs (lon, lat) + ``point_cols`` to carry through;
+    ``polygons`` needs (lons, lats arrays) + ``poly_cols``.
+
+    Plan: polygons explode over their bbox tile rectangle (pure
+    Catalyst ``sequence``+``explode`` — exact superset cover), points
+    compute their tile, equi-join on tile, bbox pre-cut, then exact
+    vectorized ray-cast refine in one ``mapInPandas`` pass.
+    """
+    pts = with_tiles(points, tile_size=tile_size).select(
+        *point_cols,
+        F.col("lon").alias("_px"),
+        F.col("lat").alias("_py"),
+        "tile_x",
+        "tile_y",
+    )
+    ts = float(tile_size)
+    polys = (
+        polygons.withColumn("_lon_min", F.array_min("lons"))
+        .withColumn("_lon_max", F.array_max("lons"))
+        .withColumn("_lat_min", F.array_min("lats"))
+        .withColumn("_lat_max", F.array_max("lats"))
+        .withColumn(
+            "tile_x",
+            F.explode(
+                F.sequence(
+                    F.expr(tile_expr("_lon_min", ts)), F.expr(tile_expr("_lon_max", ts))
+                )
+            ),
+        )
+        .withColumn(
+            "tile_y",
+            F.explode(
+                F.sequence(
+                    F.expr(tile_expr("_lat_min", ts)), F.expr(tile_expr("_lat_max", ts))
+                )
+            ),
+        )
+        .select(*poly_cols, "lons", "lats", "_lon_min", "_lon_max", "_lat_min", "_lat_max", "tile_x", "tile_y")
+    )
+    cand = pts.join(polys, ["tile_x", "tile_y"], "inner").filter(
+        (F.col("_px") >= F.col("_lon_min"))
+        & (F.col("_px") <= F.col("_lon_max"))
+        & (F.col("_py") >= F.col("_lat_min"))
+        & (F.col("_py") <= F.col("_lat_max"))
+    )
+    out_cols = list(point_cols) + list(poly_cols)
+    schema = cand.select(*out_cols).schema
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf["_px"].to_numpy(np.float64)
+            py = pdf["_py"].to_numpy(np.float64)
+            # group candidate rows by polygon identity (first poly col)
+            for _, idx in pdf.groupby(list(poly_cols), sort=False).indices.items():
+                rx = np.asarray(pdf["lons"].iloc[idx[0]], np.float64)
+                ry = np.asarray(pdf["lats"].iloc[idx[0]], np.float64)
+                keep[idx] = G.points_in_polygon(px[idx], py[idx], rx, ry)
+            if keep.any():
+                yield pdf.loc[keep, out_cols]
+
+    return cand.mapInPandas(refine, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# N4: exact kNN nearest-feature join
+# ---------------------------------------------------------------------------
+
+def knn_join(
+    points: DataFrame,
+    features: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    feature_id: str = "node_id",
+    tile_size: float = TILE_SIZE,
+) -> DataFrame:
+    """Exact k nearest features per point → (point_id, rank, feature_id,
+    dist2). Local equirectangular metric (see COS_REF), ties broken by
+    feature id — fully deterministic.
+
+    Scale path: points explode to their 3x3 tile neighborhood and
+    equi-join features on tile (shuffle-friendly, skew handled by AQE).
+    A point's result is provably exact when its kth distance is within
+    the guaranteed-covered radius (one full tile ring in the scaled
+    metric); the remainder falls back to a broadcast full search.
+    """
+    feats = with_tiles(features, tile_size=tile_size).select(
+        F.col(feature_id).alias("_fid"),
+        F.col("lon").alias("_flon"),
+        F.col("lat").alias("_flat"),
+        "tile_x",
+        "tile_y",
+    )
+    pts = with_tiles(points, tile_size=tile_size).select(
+        F.col(point_id).alias("_pid"),
+        F.col("lon").alias("_plon"),
+        F.col("lat").alias("_plat"),
+        "tile_x",
+        "tile_y",
+    )
+    neigh = (
+        pts.withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "_pid",
+            "_plon",
+            "_plat",
+            (F.col("tile_x") + F.col("_dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("_dy")).alias("tile_y"),
+        )
+    )
+    d2 = dist2_expr("_plon", "_plat", "_flon", "_flat")
+    cand = neigh.join(feats, ["tile_x", "tile_y"], "inner").select(
+        "_pid", "_plon", "_plat", "_fid", F.expr(d2).alias("dist2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_fid").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("dist2").alias("_maxd"),
+            F.collect_list(F.struct("rank", "_fid", "dist2")).alias("_hits"),
+        )
+    )
+    # guaranteed covered radius: one tile in every direction; lon tiles
+    # shrink by COS_REF in the scaled metric
+    rho2 = (tile_size * COS_REF) ** 2
+    resolved = topk.filter((F.col("_n") >= k) & (F.col("_maxd") <= F.lit(rho2)))
+    solved = resolved.select("_pid", F.explode("_hits").alias("h")).select(
+        F.col("_pid").alias(point_id),
+        F.col("h.rank").alias("rank"),
+        F.col("h._fid").alias(feature_id),
+        F.col("h.dist2").alias("dist2"),
+    )
+    # fallback: full broadcast search for unresolved points
+    unresolved = pts.join(
+        resolved.select("_pid"), "_pid", "left_anti"
+    ).select("_pid", "_plon", "_plat")
+    allfeats = features.select(
+        F.col(feature_id).alias("_fid"),
+        F.col("lon").alias("_flon"),
+        F.col("lat").alias("_flat"),
+    )
+    brute = (
+        unresolved.crossJoin(F.broadcast(allfeats))
+        .select("_pid", "_fid", F.expr(d2).alias("dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(point_id),
+            "rank",
+            F.col("_fid").alias(feature_id),
+            "dist2",
+        )
+    )
+    return solved.unionByName(brute)
+
+
+# ---------------------------------------------------------------------------
+# N5: raster-tile ↔ vector-layer join
+# ---------------------------------------------------------------------------
+
+def tile_vector_stats(
+    points: DataFrame,
+    features: DataFrame,
+    tile_size: float = TILE_SIZE,
+) -> DataFrame:
+    """Per-tile rollup joining image points with vector features:
+    (tile_x, tile_y, n_images, n_features). Tiles with no features or
+    no images keep 0 on the missing side (full outer semantics).
+    Pure Catalyst: two partial-aggregated groupBys + one join on the
+    tile key — the cheapest possible plan at 100 TB.
+    """
+    pt = (
+        with_tiles(points, tile_size=tile_size)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    ft = (
+        with_tiles(features, tile_size=tile_size)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_features"))
+    )
+    return (
+        pt.join(ft, ["tile_x", "tile_y"], "full_outer")
+        .select(
+            "tile_x",
+            "tile_y",
+            F.coalesce("n_images", F.lit(0)).alias("n_images"),
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        )
+    )

@@ -14,9 +14,17 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from osm2shp_spark.operators.assemble import assemble_ways, assembly_counters
 from osm2shp_spark.operators.classify import classify_nodes
+from osm2shp_spark.operators.spatial import (
+    dist2_expr,
+    knn_join,
+    pip_join,
+    tile_expr,
+    tile_vector_stats,
+)
 from osm2shp_spark.rules import (
     min_vertex_sql,
     node_layer_sql,
@@ -27,7 +35,9 @@ from osm2shp_spark.sources.synthetic import (
     IMAGES_SQL,
     NODES_SQL,
     RECTS_SQL,
+    synthetic_images,
     synthetic_nodes,
+    synthetic_rects,
     synthetic_ways,
     ways_sql,
 )
@@ -143,6 +153,110 @@ def q_way_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
     return assembly_counters(nodes, ways)
+
+
+# ---------------------------------------------------------------------------
+# Spatial joins (N3/N4/N5)
+# ---------------------------------------------------------------------------
+
+#: exported place nodes (node_export) as a reusable oracle CTE
+_PLACES_CTE = f"""
+places AS (
+    SELECT node_id, lon, lat FROM (
+        SELECT id AS node_id, {node_layer_sql()} AS layer, lon, lat
+        FROM nodes WHERE id > 0 AND tag_name IS NOT NULL
+    ) t WHERE layer IS NOT NULL
+)
+"""
+
+_PIP_RECT_ORACLE = f"""
+WITH images AS ({IMAGES_SQL}),
+rects AS ({RECTS_SQL})
+SELECT i.image_id, r.rect_id, r.layer
+FROM images i JOIN rects r
+  ON  i.lon > r.lon_min AND i.lon < r.lon_max
+  AND i.lat > r.lat_min AND i.lat < r.lat_max
+"""
+
+
+@register("pip_rect", _PIP_RECT_ORACLE)
+def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General ray-cast PIP join, exercised on rectangle polygons whose
+    truth is SQL interval algebra (the engine runs the full tile-join +
+    refine machinery; boundary coincidences excluded by construction)."""
+    imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, sf_dir).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    return pip_join(imgs, rects, ("image_id",), ("rect_id", "layer"))
+
+
+_KNN_ORACLE = f"""
+WITH nodes AS ({NODES_SQL}),
+images AS ({IMAGES_SQL}),
+{_PLACES_CTE},
+d AS (
+    SELECT i.image_id, p.node_id,
+           {dist2_expr('i.lon', 'i.lat', 'p.lon', 'p.lat')} AS dist2
+    FROM images i, places p
+),
+r AS (
+    SELECT image_id, node_id, dist2,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY image_id ORDER BY dist2, node_id
+           ) AS INTEGER) AS "rank"
+    FROM d
+)
+SELECT image_id, "rank", node_id, dist2 FROM r WHERE "rank" <= 3
+"""
+
+
+@register("knn_places", _KNN_ORACLE)
+def q_knn_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN nearest named place per image point — the scale path
+    (tile neighborhood + provable-radius escape to broadcast) checked
+    against the SQL brute force."""
+    imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
+    places = classify_nodes(synthetic_nodes(spark, sf_dir)).select(
+        "node_id", "lon", "lat"
+    )
+    return knn_join(imgs, places, k=3)
+
+
+_TILE_JOIN_ORACLE = f"""
+WITH nodes AS ({NODES_SQL}),
+images AS ({IMAGES_SQL}),
+{_PLACES_CTE},
+it AS (
+    SELECT {tile_expr('lon')} AS tile_x, {tile_expr('lat')} AS tile_y,
+           count(*) AS n_images
+    FROM images GROUP BY 1, 2
+),
+ft AS (
+    SELECT {tile_expr('lon')} AS tile_x, {tile_expr('lat')} AS tile_y,
+           count(*) AS n_features
+    FROM places GROUP BY 1, 2
+)
+SELECT coalesce(it.tile_x, ft.tile_x) AS tile_x,
+       coalesce(it.tile_y, ft.tile_y) AS tile_y,
+       coalesce(n_images, 0) AS n_images,
+       coalesce(n_features, 0) AS n_features
+FROM it FULL OUTER JOIN ft
+  ON it.tile_x = ft.tile_x AND it.tile_y = ft.tile_y
+"""
+
+
+@register("tile_vector_join", _TILE_JOIN_ORACLE)
+def q_tile_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 raster-tile ↔ vector rollup (images x exported places)."""
+    imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
+    places = classify_nodes(synthetic_nodes(spark, sf_dir)).select(
+        "node_id", "lon", "lat"
+    )
+    return tile_vector_stats(imgs, places)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""Spatial operator tests: PIP vs brute force on general (non-rect)
+polygons, kNN vs brute force with haversine, cell-column plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from parity import canon_rows
+
+from osm2shp_spark.functions import geometry as G
+from osm2shp_spark.functions.udfs import with_geometry_meta, with_point_cells
+from osm2shp_spark.operators.assemble import assemble_ways
+from osm2shp_spark.operators.spatial import knn_join, pip_join, tile_vector_stats
+from osm2shp_spark.sources.synthetic import (
+    synthetic_images,
+    synthetic_nodes,
+    synthetic_ways,
+)
+
+
+def test_pip_general_polygons_vs_brute_force(spark):
+    """Non-rectangular (triangle/pentagon) polygons: engine pip_join must
+    equal O(n*m) NumPy brute force."""
+    rng = np.random.default_rng(21)
+    n = 2000
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": rng.uniform(7.9, 9.1, n),
+            "lat": rng.uniform(46.9, 48.1, n),
+        }
+    )
+    polys = []
+    for g in range(12):
+        cx, cy = rng.uniform(8, 9), rng.uniform(47, 48)
+        k = rng.integers(3, 8)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.05, 0.25, k)
+        polys.append(
+            {
+                "poly_id": g,
+                "lons": (cx + rad * np.cos(ang)).tolist(),
+                "lats": (cy + rad * np.sin(ang)).tolist(),
+            }
+        )
+    brute = set()
+    for p in polys:
+        m = G.points_in_polygon(
+            pts.lon.to_numpy(), pts.lat.to_numpy(),
+            np.array(p["lons"]), np.array(p["lats"]),
+        )
+        brute |= {(int(i), p["poly_id"]) for i in pts.pid[m]}
+
+    sp_pts = spark.createDataFrame(pts)
+    sp_polys = spark.createDataFrame(
+        pd.DataFrame(polys), schema="poly_id LONG, lons ARRAY<DOUBLE>, lats ARRAY<DOUBLE>"
+    )
+    got = {
+        (r.pid, r.poly_id)
+        for r in pip_join(sp_pts, sp_polys, ("pid",), ("poly_id",)).collect()
+    }
+    assert got == brute
+
+
+def test_knn_fallback_engages_and_stays_exact(spark):
+    """Tiny tile size forces most points through the provable-radius
+    escape; result must still equal brute force."""
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    nodes = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select(
+        F.col("id").alias("node_id"), "lon", "lat"
+    ).limit(50)
+    a = knn_join(imgs, nodes, k=2, tile_size=0.001).toPandas()
+    b = knn_join(imgs, nodes, k=2, tile_size=10.0).toPandas()  # one tile: pure brute
+    assert canon_rows(a) == canon_rows(b)
+
+
+def test_tile_stats_row_count_positive(spark):
+    imgs = synthetic_images(spark, SF_SMALL)
+    nodes = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select("id", "lon", "lat")
+    df = tile_vector_stats(imgs, nodes).toPandas()
+    assert (df.n_images + df.n_features > 0).all()
+    assert df.n_images.sum() == imgs.count()
+
+
+def test_point_cell_columns(spark):
+    df = with_point_cells(
+        synthetic_images(spark, SF_SMALL).limit(200), s2_level=12
+    ).toPandas()
+    assert {"s2_cell", "s2_token", "hex_r7", "hex_r12"} <= set(df.columns)
+    # all points in one small bbox share coarse cells mostly; uniqueness
+    # grows with resolution
+    assert df.hex_r12.nunique() >= df.hex_r7.nunique()
+    # s2 token is the hex id with trailing zeros stripped
+    for t, c in zip(df.s2_token[:20], df.s2_cell[:20]):
+        assert format(np.uint64(c), "016x").rstrip("0") == t
+
+
+def test_geometry_meta_columns(spark):
+    ways = assemble_ways(
+        synthetic_nodes(spark, SF_SMALL), synthetic_ways(spark, SF_SMALL)
+    )
+    df = with_geometry_meta(ways).limit(50).toPandas()
+    assert df.wkb.map(len).gt(9).all()
+    assert df.geom_digest.map(len).eq(40).all()
+    assert (df.lon_min <= df.lon_max).all()
