@@ -260,6 +260,268 @@ def q_tile_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+from osm2shp_spark.operators.dedup import (  # noqa: E402
+    exact_dup_groups,
+    jaccard_pairs_blocked,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from osm2shp_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_lsh,
+    duck_cosine,
+    embedding_near_dups,
+)
+from osm2shp_spark.operators.text import (  # noqa: E402
+    doc_fingerprint,
+    doc_fingerprint_oracle,
+    lang_id,
+    lang_id_oracle,
+    quality_score,
+    quality_score_oracle,
+    token_stats,
+    token_stats_oracle,
+)
+from osm2shp_spark.sources.tables import register_driver_tables  # noqa: E402
+
+#: documents with injected exact duplicates (case-changed copies of
+#: every 10th doc) — portable SQL, same text both engines
+DOCS_AUG_SQL = """
+SELECT doc_id, text, lang, source FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, upper(text) AS text, lang, source
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+DOCS_PLAIN_SQL = "SELECT doc_id, text, lang, source FROM documents"
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_driver_tables(spark, sf_dir)
+    return spark.sql(DOCS_AUG_SQL)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_driver_tables(spark, sf_dir)
+    return spark.sql(DOCS_PLAIN_SQL)
+
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH docs AS ({DOCS_AUG_SQL})
+SELECT md5(lower(text)) AS text_key, count(*) AS n_dups, min(doc_id) AS keeper
+FROM docs GROUP BY 1
+"""
+
+
+@register("exact_dedup", _EXACT_DEDUP_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs_aug(spark, sf_dir))
+
+
+_JACCARD_ORACLE = f"""
+WITH docs AS ({DOCS_PLAIN_SQL}),
+t AS (
+    SELECT doc_id, source,
+           list_distinct(string_split(lower(text), ' ')) AS toks
+    FROM docs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= 0.9e0
+"""
+
+
+@register("jaccard_pairs", _JACCARD_ORACLE)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_blocked(_docs(spark, sf_dir), threshold=0.9)
+
+
+@register("token_stats", token_stats_oracle(DOCS_PLAIN_SQL))
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+@register("lang_id", lang_id_oracle(DOCS_PLAIN_SQL))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+@register("quality_score", quality_score_oracle(DOCS_PLAIN_SQL))
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+@register("doc_fingerprint", doc_fingerprint_oracle(DOCS_PLAIN_SQL))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+_ANN_ORACLE = f"""
+WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+d AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           {duck_cosine('p.embedding', 'c.embedding')} AS cosine
+    FROM p, embeddings c WHERE p.vec_id <> c.vec_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank"
+    FROM d
+)
+SELECT probe_id, "rank", neighbor_id, cosine FROM r WHERE "rank" <= 5
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 — similarity values bit-identical
+    to the DuckDB fold (see operators.similarity docstring)."""
+    register_driver_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id % 50 = 0")
+    return cosine_topk(emb, probes, k=5)
+
+
+# rows-only scale paths (non-SQL-expressible candidate generation)
+
+@register("minhash_near_dups", None)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(_docs_aug(spark, sf_dir), threshold=0.5)
+
+
+@register("simhash_near_dups", None)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_docs_aug(spark, sf_dir), max_hamming=3)
+
+
+@register("embedding_near_dups", None)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection on a corpus with injected perturbed copies
+    (every 25th vector duplicated with small noise) — the realistic
+    near-dup regime where the banded LSH's recall guarantee applies."""
+    register_driver_tables(spark, sf_dir)
+    aug = spark.sql(
+        """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               transform(embedding, x -> CAST(x * 0.95e0 + 0.02e0 AS FLOAT))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+        """
+    )
+    return embedding_near_dups(aug, threshold=0.9)
+
+
+@register("ann_cosine_lsh", None)
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_driver_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id % 50 = 0")
+    return cosine_topk_lsh(emb, probes, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (window / top-k / rollup over driver tables)
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1e0 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_driver_tables(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+        F.sum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_TOPK_ORACLE = """
+WITH r AS (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+           ) AS INTEGER) AS "rank"
+    FROM customer
+)
+SELECT c_mktsegment, "rank", c_custkey, c_acctbal FROM r WHERE "rank" <= 5
+"""
+
+
+@register("topk_customers", _TOPK_ORACLE)
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    register_driver_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        spark.table("customer")
+        .select(
+            "c_mktsegment",
+            F.row_number().over(w).alias("rank"),
+            "c_custkey",
+            "c_acctbal",
+        )
+        .filter(F.col("rank") <= 5)
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, sum(o_totalprice) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_rollup", _ROLLUP_ORACLE)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_driver_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,101 @@
+"""Training-data pipeline operator tests: dedup recall/precision on
+injected duplicates, LSH behavior, exact-vs-approx agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from osm2shp_spark import queries as Q
+from osm2shp_spark.operators.dedup import minhash_near_dups, simhash_near_dups
+from osm2shp_spark.operators.similarity import cosine_topk
+
+
+def test_exact_dedup_finds_injected_dups(spark):
+    df = Q.q_exact_dedup(spark, SF_SMALL).toPandas()
+    dups = df[df.n_dups > 1]
+    # every 10th doc has a case-changed copy → one dup group each
+    assert len(dups) > 0
+    assert (dups.n_dups == 2).all()
+    # keeper is always the original (smaller id)
+    assert (dups.keeper < 1000000).all()
+
+
+def test_minhash_catches_exact_dups_with_full_recall(spark):
+    """Identical normalized texts have identical signatures → always
+    collide in every band; the injected dup pairs must all surface."""
+    docs = Q._docs_aug(spark, SF_SMALL)
+    pairs = minhash_near_dups(docs, threshold=0.99).toPandas()
+    injected = {
+        (int(r.doc_id), int(r.doc_id) + 1000000)
+        for r in docs.filter("doc_id < 1000000 AND doc_id % 10 = 0").collect()
+    }
+    got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert injected <= got
+
+
+def test_simhash_catches_exact_dups(spark):
+    docs = Q._docs_aug(spark, SF_SMALL)
+    pairs = simhash_near_dups(docs, max_hamming=0).toPandas()
+    injected = {
+        (int(r.doc_id), int(r.doc_id) + 1000000)
+        for r in docs.filter("doc_id < 1000000 AND doc_id % 10 = 0").collect()
+    }
+    got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert injected <= got
+    assert (pairs.hamming == 0).all()
+
+
+def test_embedding_near_dups_full_recall_on_injected(spark):
+    df = Q.q_embedding_near_dups(spark, SF_SMALL).toPandas()
+    emb_n = spark.table("embeddings").count()
+    expected = {
+        (v, v + 1000000) for v in range(0, emb_n, 25)
+    }
+    got = {(int(a), int(b)) for a, b in zip(df.vec_a, df.vec_b)}
+    # scalar-affine perturbation keeps cosine ≈ 1 → banded LSH must
+    # recover every injected pair
+    assert expected <= got
+
+
+def test_lsh_topk_subset_of_exact_ranking(spark):
+    """Every (probe, neighbor) the LSH path returns must appear in the
+    exact full ranking with identical cosine (the re-rank is exact)."""
+    emb = spark.table("embeddings") if "embeddings" in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    if emb is None:
+        from osm2shp_spark.sources.tables import register_driver_tables
+
+        register_driver_tables(spark, SF_SMALL)
+        emb = spark.table("embeddings")
+    probes = emb.filter("vec_id % 50 = 0")
+    exact = cosine_topk(emb, probes, k=1000).toPandas()
+    approx = Q.q_ann_cosine_lsh(spark, SF_SMALL).toPandas()
+    exact_map = {
+        (int(r.probe_id), int(r.neighbor_id)): r.cosine for _, r in exact.iterrows()
+    }
+    for _, r in approx.iterrows():
+        key = (int(r.probe_id), int(r.neighbor_id))
+        assert key in exact_map
+        assert r.cosine == exact_map[key]
+
+
+def test_jaccard_blocked_never_crosses_blocks(spark):
+    docs = Q._docs(spark, SF_SMALL)
+    pairs = Q.q_jaccard_pairs(spark, SF_SMALL)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+    )
+    assert joined.filter(F.col("src_a") != F.col("src_b")).count() == 0
+
+
+def test_lang_id_deterministic_and_total(spark):
+    df = Q.q_lang_id(spark, SF_SMALL).toPandas()
+    assert df.pred_lang.notna().all()
+    df2 = Q.q_lang_id(spark, SF_SMALL).toPandas()
+    assert df.sort_values("doc_id").pred_lang.tolist() == df2.sort_values("doc_id").pred_lang.tolist()
