@@ -1,0 +1,150 @@
+"""Image-pipeline operators (axis B): decode/verify, feature extract,
+phash dedup, and the image→spatial bridge. Binary payloads ride as
+opaque ``binary`` columns with typed metadata (input_hint schema);
+decode/feature steps run in ``mapInPandas`` — Arrow moves the bytes,
+NumPy does the pixels, nothing is per-row Python except the inherently
+per-image codec loop inside each Arrow batch.
+
+Scale notes: decode parallelism is pure map-side (no shuffle); the
+phash-dedup join reuses the SimHash banding trick (pigeonhole on
+16-bit bands → 100% recall for hamming ≤ 3) so it shuffles only
+16-byte keys, never pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2shp_spark.functions import image as I
+
+DECODE_STATS_SCHEMA = (
+    "image_id STRING, fmt STRING, w INT, h INT, decode_ok BOOLEAN, "
+    "width_matches BOOLEAN, phash_matches BOOLEAN, mean_px DOUBLE, psnr DOUBLE"
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every image and verify the per-row invariants
+    (input_hint): decoded size matches metadata, recomputed phash
+    matches the stored one, PSNR vs re-encode round-trip (∞ for the
+    lossless formats; the ≥40 dB gate applies when a lossy codec is
+    plugged in)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = I.decode_image(r.bytes, r.fmt)
+                    rt = I.decode_image(I.encode_image(arr, r.fmt), r.fmt)
+                    p = I.psnr(arr, rt)
+                    out.append(
+                        (
+                            r.image_id,
+                            r.fmt,
+                            r.w,
+                            r.h,
+                            True,
+                            arr.shape[1] == r.w and arr.shape[0] == r.h,
+                            I.average_phash(arr) == r.phash,
+                            float(arr.mean()),
+                            1e9 if p == float("inf") else p,
+                        )
+                    )
+                except Exception:
+                    out.append(
+                        (r.image_id, r.fmt, r.w, r.h, False, False, False, 0.0, 0.0)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "fmt", "w", "h", "decode_ok",
+                    "width_matches", "phash_matches", "mean_px", "psnr",
+                ],
+            )
+
+    return images.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "image_id STRING, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, "
+    "contrast DOUBLE, edge_energy DOUBLE, thumb ARRAY<DOUBLE>"
+)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """Cheap visual features per image: channel means, contrast (std),
+    gradient energy, 4x4 block-mean thumbnail (the embedding stand-in
+    for downstream similarity ops)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = I.decode_image(r.bytes, r.fmt).astype(np.float64)
+                gray = arr.mean(axis=2)
+                gx = np.abs(np.diff(gray, axis=1)).mean()
+                gy = np.abs(np.diff(gray, axis=0)).mean()
+                thumb = I._block_mean_resize(gray, 4, 4).ravel() / 255.0
+                out.append(
+                    (
+                        r.image_id,
+                        float(arr[:, :, 0].mean()),
+                        float(arr[:, :, 1].mean()),
+                        float(arr[:, :, 2].mean()),
+                        float(gray.std()),
+                        float(gx + gy),
+                        thumb.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "mean_r", "mean_g", "mean_b",
+                    "contrast", "edge_energy", "thumb",
+                ],
+            )
+
+    return images.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate image pairs by phash hamming distance,
+    banded like SimHash (4x16-bit bands → exact recall for ≤3 bit
+    flips). Output: (img_a, img_b, hamming)."""
+    t = images.select(F.col("image_id").alias("_id"), F.col("phash").alias("_ph"))
+    banded = t.select(
+        "_id",
+        "_ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_ph"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("_band", "_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("img_a"),
+            F.col("b._id").alias("img_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["img_a", "img_b"])
+    )

@@ -1,0 +1,144 @@
+"""Per-partition lineage manifest + resumability (N7).
+
+The reference's ephemeral pid-scoped sqlite temp table
+(osm/handler.cc:27, osm/point_database.cc:31-34) and mapgen.sh's
+file-existence memoization (mapgen.sh:20-23) are upgraded to a durable
+Iceberg-shaped manifest: one row per (snapshot_id, stage, part_key)
+with row counts and content digests, appended transactionally-enough
+(write-new-file-then-visible, like an Iceberg snapshot commit) under
+``<manifest_dir>/``.
+
+Resumability: a restart anti-joins its input partitions against the
+manifest and processes only the missing ones; digests make partition
+outputs content-addressed so a re-run is verifiable byte-for-byte.
+In production the same module writes to a real Iceberg table via the
+catalog (swap in sources.tables); the layout mirrors Iceberg manifests
+(snapshot id, per-file counts/digests) so the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "snapshot_id STRING, stage STRING, part_key BIGINT, "
+    "row_count BIGINT, digest STRING, wall_time_s DOUBLE"
+)
+
+
+def partition_lineage(
+    df: DataFrame, stage: str, part_col: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Compute (snapshot_id, stage, part_key, row_count, digest) per
+    value of ``part_col`` — digest is order-insensitive (sum of per-row
+    sha256 prefixes) so it is stable under partition/row reordering.
+    One groupBy shuffle on the partition key; rows hash map-side.
+    """
+    snapshot_id = snapshot_id or uuid.uuid4().hex
+
+    cols = list(df.columns)
+
+    def _cv(v):
+        # numpy array reprs truncate ("..."): canonicalize to tuples
+        if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+            return tuple(v.tolist())
+        return v
+
+    def digest_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        hashes = sorted(
+            hashlib.sha256(("|".join(repr(_cv(v)) for v in row)).encode()).digest()
+            for row in pdf[cols].itertuples(index=False, name=None)
+        )
+        d = hashlib.sha256(b"".join(hashes)).hexdigest()
+        return pd.DataFrame(
+            {
+                "part_key": [pdf[part_col].iloc[0]],
+                "row_count": [len(pdf)],
+                "digest": [d],
+                "wall_time_s": [time.time() - t0],
+            }
+        )
+
+    per_part = df.groupBy(part_col).applyInPandas(
+        digest_group,
+        schema="part_key BIGINT, row_count BIGINT, digest STRING, wall_time_s DOUBLE",
+    )
+    return per_part.select(
+        F.lit(snapshot_id).alias("snapshot_id"),
+        F.lit(stage).alias("stage"),
+        "part_key",
+        "row_count",
+        "digest",
+        "wall_time_s",
+    )
+
+
+class Manifest:
+    """Append-only parquet manifest directory."""
+
+    def __init__(self, spark: SparkSession, manifest_dir: str):
+        self.spark = spark
+        self.dir = manifest_dir
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.dir) for f in fs
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.parquet(self.dir)
+
+    def append(self, lineage: DataFrame) -> None:
+        lineage.write.mode("append").parquet(self.dir)
+
+    def completed_keys(self, stage: str) -> DataFrame:
+        return (
+            self.read()
+            .filter(F.col("stage") == stage)
+            .select("part_key")
+            .distinct()
+        )
+
+    def pending(self, df: DataFrame, stage: str, part_col: str) -> DataFrame:
+        """Input rows whose partition key has no manifest entry yet."""
+        done = self.completed_keys(stage).withColumnRenamed("part_key", part_col)
+        return df.join(F.broadcast(done), part_col, "left_anti")
+
+
+def run_stage_resumable(
+    spark: SparkSession,
+    inp: DataFrame,
+    stage: str,
+    part_col: str,
+    transform,
+    out_dir: str,
+    manifest_dir: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Process only partitions not yet recorded; append data + lineage.
+
+    ``transform(df) -> df`` must be partition-wise in ``part_col``
+    (each output row keeps its input partition key). Returns the
+    newly-written slice (empty when fully resumed).
+    """
+    m = Manifest(spark, manifest_dir)
+    todo = m.pending(inp, stage, part_col)
+    out = transform(todo)
+    if out.isEmpty():
+        return out
+    out.write.mode("append").parquet(out_dir)
+    written = spark.read.parquet(out_dir).join(
+        out.select(part_col).distinct(), part_col, "left_semi"
+    )
+    m.append(partition_lineage(written, stage, part_col, snapshot_id))
+    return out

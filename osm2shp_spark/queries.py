@@ -432,6 +432,52 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image pipeline (axis B; binary payloads → rows-only checks, the
+# pixel-level invariants are pytest-gated per input_hint)
+# ---------------------------------------------------------------------------
+
+from osm2shp_spark.operators.images import (  # noqa: E402
+    decode_stats,
+    extract_features,
+    phash_near_dups,
+)
+from osm2shp_spark.sources.fixtures import image_table, images_count_for_sf  # noqa: E402
+
+
+@register("image_decode_stats", None)
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-verify pass over the deterministic image fixture table:
+    every row must decode, match metadata, and reproduce its phash."""
+    return decode_stats(image_table(spark, images_count_for_sf(sf_dir)))
+
+
+@register("image_features", None)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(image_table(spark, images_count_for_sf(sf_dir)))
+
+
+@register("image_phash_dedup", None)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phash_near_dups(image_table(spark, images_count_for_sf(sf_dir)), max_hamming=6)
+
+
+@register("image_pip_classify", None)
+def q_image_pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star loop: georeferenced binary images classified by
+    layer via the general PIP join against the rect polygon features."""
+    imgs = image_table(spark, images_count_for_sf(sf_dir)).select(
+        "image_id", "caption", "lon", "lat"
+    )
+    rects = synthetic_rects(spark, sf_dir).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    return pip_join(imgs, rects, ("image_id", "caption"), ("rect_id", "layer"))
+
+
+# ---------------------------------------------------------------------------
 # Relational coverage (window / top-k / rollup over driver tables)
 # ---------------------------------------------------------------------------
 

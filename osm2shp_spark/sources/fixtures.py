@@ -1,0 +1,95 @@
+"""Deterministic binary-image fixture table (FIXTURES.md T3).
+
+Generates the graft-cell input table with the exact input_hint schema
+(image_id, bytes, w, h, fmt, caption, phash) plus georeference
+(lon, lat) — seeded gradient+noise pixels, PPM/PNG encoded in-process,
+phash computed by the generator so the engine must *reproduce* it.
+No external data; row count scales with the requested size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from osm2shp_spark.functions import image as I
+
+SEED = 42
+
+_ADJ = ("red", "blue", "tall", "müde", "古老", "quiet", "vast", "étroit")
+_NOUN = ("bridge", "harbor", "forest", "straße", "山口", "square", "tower")
+_LAYER = ("water_area", "roadbig_line", "city_point", "railway_line")
+
+IMAGE_SCHEMA = (
+    "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, "
+    "caption STRING, phash BIGINT, lon DOUBLE, lat DOUBLE"
+)
+
+
+def make_image(idx: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED + idx)
+    w = int(rng.integers(16, 65))
+    h = int(rng.integers(16, 65))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128.0
+        + 100.0 * np.sin(xx / w * np.pi * (1 + idx % 3))
+        + 60.0 * np.cos(yy / h * np.pi * (1 + idx % 5))
+    )
+    arr = np.stack(
+        [
+            np.clip(base + rng.normal(0, 12, (h, w)) + 30 * (c - 1), 0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return arr
+
+
+def generate_images_pdf(n: int) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        arr = make_image(i)
+        h, w, _ = arr.shape
+        fmt = "ppm" if i % 2 == 0 else "png"
+        data = I.encode_image(arr, fmt)
+        rng = np.random.default_rng(SEED * 7 + i)
+        caption = (
+            f"{_ADJ[i % len(_ADJ)]} {_NOUN[(i * 3) % len(_NOUN)]} near "
+            f"{_LAYER[i % len(_LAYER)]}"
+        )
+        # ~10% land in the hot cluster (skew fixture, mirrors nodes)
+        if i % 10 == 0:
+            lon = 8.5 + rng.uniform(0, 0.01)
+            lat = 47.5 + rng.uniform(0, 0.01)
+        else:
+            lon = float(rng.uniform(8.0, 9.0))
+            lat = float(rng.uniform(47.0, 48.0))
+        rows.append(
+            {
+                "image_id": f"img-{i:08d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption,
+                "phash": I.average_phash(arr),
+                "lon": lon,
+                "lat": lat,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def image_table(spark: SparkSession, n: int = 200) -> DataFrame:
+    return spark.createDataFrame(generate_images_pdf(n), schema=IMAGE_SCHEMA)
+
+
+def images_count_for_sf(sf_dir: str) -> int:
+    """Deterministic fixture size per driver scale factor."""
+    if "0.001" in sf_dir:
+        return 120
+    if "0.01" in sf_dir:
+        return 400
+    return 1200
