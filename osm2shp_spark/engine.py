@@ -1,0 +1,133 @@
+"""Top-level engine pipeline — the lifecycle the reference runs as
+``osm2shp <planet> <base>`` + ``mapgen.sh`` (SURVEY §3.5), as one lazy
+DataFrame DAG with durable lineage:
+
+    nodes ──select(id,lon,lat)───────────────┐ (build side)
+    ways ──filter──classify(kind,layer)──posexplode──JOIN──groupBy
+          ──count==n_refs──assemble──[cells/digests]──write + manifest
+    nodes ──filter(id>0 ∧ name)──classify──[cells]──write + manifest
+    images ──[cells]──PIP layer classify──write + manifest
+
+Outputs are layer-partitioned Parquet (the one-shapefile-per-layer
+sink of osm/shapefile.cc:9-13 as partition dirs), CRS fixed EPSG:4326
+(the reference never reprojects — osm/shapefile.cc:65-79), and every
+stage appends per-partition lineage for resumability (N7).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2shp_spark.functions.udfs import with_geometry_meta, with_point_cells
+from osm2shp_spark.operators.assemble import assemble_ways
+from osm2shp_spark.operators.classify import classify_nodes
+from osm2shp_spark.operators.spatial import pip_join
+from osm2shp_spark.plans.manifest import Manifest, partition_lineage
+from osm2shp_spark.sources.tables import write_partitioned
+
+CRS = "EPSG:4326"
+
+
+@dataclass
+class RunResult:
+    snapshot_id: str
+    counts: dict = field(default_factory=dict)
+    outputs: dict = field(default_factory=dict)
+
+
+def run(
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    out_dir: str,
+    images: DataFrame | None = None,
+    s2_level: int = 12,
+    hex_resolutions: tuple[int, ...] = (7, 8, 9, 10, 11, 12),
+    with_lineage: bool = True,
+) -> RunResult:
+    """Run the full pipeline; returns per-output counts.
+
+    ``nodes``/``ways`` must carry the extracted ``tag_*`` columns (use
+    ``operators.classify.extract_tags`` for the raw OSM map shape);
+    ``images`` needs (image_id, lon, lat) at minimum.
+    """
+    snapshot = uuid.uuid4().hex
+    res = RunResult(snapshot_id=snapshot)
+    manifest = Manifest(spark, os.path.join(out_dir, "_manifest"))
+
+    # --- ways: assemble + geometry meta + cells --------------------------
+    assembled = with_geometry_meta(assemble_ways(nodes, ways))
+    way_out = os.path.join(out_dir, "ways")
+    write_partitioned(assembled, way_out, ["layer"])
+    res.outputs["ways"] = way_out
+    written = spark.read.parquet(way_out)
+    res.counts["exported_ways"] = written.count()
+    if with_lineage:
+        manifest.append(
+            partition_lineage(
+                written.withColumn("part_key", F.xxhash64("layer")),
+                "ways",
+                "part_key",
+                snapshot,
+            )
+        )
+
+    # --- nodes: point export + cells --------------------------------------
+    points = with_point_cells(
+        classify_nodes(nodes), s2_level=s2_level, hex_resolutions=hex_resolutions
+    )
+    node_out = os.path.join(out_dir, "points")
+    write_partitioned(points, node_out, ["layer"])
+    res.outputs["points"] = node_out
+    res.counts["exported_nodes"] = spark.read.parquet(node_out).count()
+    if with_lineage:
+        manifest.append(
+            partition_lineage(
+                spark.read.parquet(node_out).withColumn(
+                    "part_key", F.xxhash64("layer")
+                ),
+                "points",
+                "part_key",
+                snapshot,
+            )
+        )
+
+    # --- images: cell index + PIP layer classification --------------------
+    if images is not None:
+        indexed = with_point_cells(
+            images, s2_level=s2_level, hex_resolutions=hex_resolutions
+        )
+        polys = assembled.filter(F.col("kind") == "polygon").select(
+            F.col("way_id").alias("poly_id"), "layer", "lons", "lats"
+        )
+        classified = pip_join(
+            indexed,
+            polys,
+            tuple(indexed.columns),
+            ("poly_id", "layer"),
+        )
+        img_out = os.path.join(out_dir, "images_classified")
+        write_partitioned(classified, img_out, ["layer"])
+        res.outputs["images_classified"] = img_out
+        res.counts["classified_images"] = spark.read.parquet(img_out).count()
+        if with_lineage:
+            manifest.append(
+                partition_lineage(
+                    spark.read.parquet(img_out).withColumn(
+                        "part_key", F.xxhash64("layer")
+                    ),
+                    "images_classified",
+                    "part_key",
+                    snapshot,
+                )
+            )
+
+    # CRS sidecar (O16): constant table property, never reprojected
+    with open(os.path.join(out_dir, "crs.txt"), "w") as f:
+        f.write(CRS + "\n")
+    return res

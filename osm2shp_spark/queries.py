@@ -478,6 +478,112 @@ def q_image_pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event analytics: sessionization + windowed aggregation (+ streaming)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ets,
+           CASE WHEN ets - lag(ets) OVER w > {_SESSION_GAP_S}
+                OR lag(ets) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)
+),
+sessions AS (
+    SELECT user_id, event_id, ets,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ets, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       count(*) AS n_events,
+       min(ets) AS session_start, max(ets) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_ORACLE)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running-sum
+    windows — the batch form of the streaming session_window operator."""
+    from pyspark.sql import Window
+
+    register_driver_tables(spark, sf_dir)
+    e = spark.table("events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ets")
+    )
+    w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ets") - F.lag("ets").over(w) > _SESSION_GAP_S, F.lit(1)
+        ).when(F.lag("ets").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ets").alias("session_start"),
+        F.max("ets").alias("session_end"),
+    )
+
+
+_WINDOW_AGG_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_window_agg", _WINDOW_AGG_ORACLE)
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows (batch twin of the streaming operator).
+    Sums in DECIMAL so cross-engine float addition order can't flip
+    low bits."""
+    register_driver_tables(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy(F.window("ts", "60 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register("events_stream_window", None)
+def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path (readStream + watermark +
+    window + availableNow backfill) over the events parquet; equality
+    with the batch twin is pytest-gated."""
+    import os as _os
+
+    from osm2shp_spark.streaming.windows import run_stream_over_parquet
+
+    return run_stream_over_parquet(
+        spark, _os.path.join(sf_dir, "events.parquet"), name="q_stream_out"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational coverage (window / top-k / rollup over driver tables)
 # ---------------------------------------------------------------------------
 
