@@ -24,17 +24,19 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+#: cheap queries first: they double as JVM/python warmup so the heavy
+#: ones aren't charged JIT + worker-spawn time
 HEADLINE = [
-    "way_assembly",
-    "node_export",
-    "pip_rect",
-    "knn_places",
-    "tile_vector_join",
-    "exact_dedup",
-    "minhash_near_dups",
-    "ann_cosine_topk",
     "pricing_summary",
+    "node_export",
+    "exact_dedup",
+    "tile_vector_join",
+    "ann_cosine_topk",
+    "pip_rect",
+    "way_assembly",
     "image_decode_stats",
+    "minhash_near_dups",
+    "knn_places",
 ]
 
 
@@ -49,10 +51,10 @@ def _spark(master: str, app: str):
 
 
 def _materialize(df) -> int:
-    """Run the full plan through the noop sink; return row count cheaply
-    via the same pass? noop discards counts, so count() a cached plan is
-    paid twice — instead count once (forces full compute for non-scan
-    plans)."""
+    """count() forces the full plan for every headline query — they all
+    end in joins/aggregations/mapInPandas, which Catalyst cannot
+    short-circuit for counting (only bare column projections would be
+    pruned, and none of the headline plans are that shape)."""
     return df.count()
 
 

@@ -1,0 +1,69 @@
+"""CLI — the engine's equivalent of ``osm2shp <planet.osm> <base-path>``
+(reference osm2shp.cc:10-24) + the ``mapgen.sh`` post-processing:
+
+    python -m osm2shp_spark.cli <input_dir> <output_dir> [--images]
+        [--generalize] [--master local[32]]
+
+``input_dir`` must contain ``nodes.parquet`` and ``ways.parquet``
+(the table shape of SURVEY §1.1 — either tag-extracted ``tag_*``
+columns or a raw ``tags MAP<STRING,STRING>`` which is adapted
+automatically), optionally ``images.parquet`` (input_hint schema).
+Output: layer-partitioned parquet per SURVEY §2.1 O14-O16 + lineage
+manifest. The reference's hard-coded rule set ships as the default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="osm2shp_spark")
+    ap.add_argument("input_dir")
+    ap.add_argument("output_dir")
+    ap.add_argument("--images", action="store_true", help="also classify images.parquet")
+    ap.add_argument("--generalize", action="store_true", help="run DP simplify + clean (mapgen.sh parity)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from osm2shp_spark import engine
+    from osm2shp_spark.operators.classify import extract_tags
+    from osm2shp_spark.session import get_spark
+
+    spark = get_spark(app_name="osm2shp_spark_cli", master=args.master)
+
+    def load(name: str):
+        df = spark.read.parquet(os.path.join(args.input_dir, f"{name}.parquet"))
+        if "tags" in df.columns:
+            df = extract_tags(df)
+        return df
+
+    nodes = load("nodes")
+    ways = load("ways")
+    images = None
+    if args.images:
+        images = spark.read.parquet(os.path.join(args.input_dir, "images.parquet"))
+
+    res = engine.run(spark, nodes, ways, args.output_dir, images=images)
+
+    if args.generalize:
+        from osm2shp_spark.operators.generalize import generalize_ways
+        from osm2shp_spark.sources.tables import write_partitioned
+
+        assembled = spark.read.parquet(res.outputs["ways"])
+        gen = generalize_ways(assembled)
+        gen_out = os.path.join(args.output_dir, "ways_generalized")
+        write_partitioned(gen, gen_out, ["layer"])
+        res.outputs["ways_generalized"] = gen_out
+        res.counts["generalized_ways"] = spark.read.parquet(gen_out).count()
+
+    print(json.dumps({"snapshot_id": res.snapshot_id, "counts": res.counts, "outputs": res.outputs}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

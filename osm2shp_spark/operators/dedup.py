@@ -39,20 +39,31 @@ def _hash_family(n: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
 _HA, _HB = _hash_family(_NUM_HASHES)
 
 
+_SHINGLE_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """FNV-1a 64 over token k-shingles (deterministic, seedless)."""
+    """Deterministic 64-bit hashes of token k-shingles: crc32 per token
+    (zlib, C speed) mixed positionally with odd constants in uint64
+    wraparound arithmetic — fully vectorized over shingles."""
+    import zlib
+
     toks = text.lower().split()
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    out = np.empty(max(len(toks) - k + 1, 1), dtype=np.uint64)
-    for i in range(len(out)):
-        h = np.uint64(0xCBF29CE484222325)
-        for t in toks[i : i + k]:
-            for c in t.encode():
-                h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            h = np.uint64((int(h) ^ 0x20) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    ids = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    n = len(ids) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * np.uint64(0x100000001B3) + ids[j : j + n] * np.uint64(
+                _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+            )
+        # final avalanche (xorshift-multiply)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
 
 
 def minhash_signature_udf(k: int = 3):

@@ -145,6 +145,10 @@ def pip_join(
         & (F.col("_py") <= F.col("_lat_max"))
     )
     out_cols = list(point_cols) + list(poly_cols)
+    # slim the Arrow payload: the refine needs only coords + carried
+    # columns — the bbox doubles stay JVM-side (the round trip is the
+    # stage's bandwidth bill at ~10^7 candidates)
+    refine_cols = list(dict.fromkeys(out_cols + ["_px", "_py"] + ring_cols))
     schema = cand.select(*out_cols).schema
 
     rings_bc = None
@@ -194,12 +198,12 @@ def pip_join(
             & (F.col("_py") > F.col("_lat_min"))
             & (F.col("_py") < F.col("_lat_max"))
         ).select(*out_cols)
-        general = cand.filter(~is_rect)
+        general = cand.filter(~is_rect).select(*refine_cols)
         if len(rect_keys) == len(rings_bc.value):
             return rect_hits
         return rect_hits.unionByName(general.mapInPandas(refine, schema=schema))
 
-    return cand.mapInPandas(refine, schema=schema)
+    return cand.select(*refine_cols).mapInPandas(refine, schema=schema)
 
 
 def _is_axis_rect(rx: np.ndarray, ry: np.ndarray) -> bool:
@@ -281,6 +285,10 @@ def knn_join(
             F.max("dist2").alias("_maxd"),
             F.collect_list(F.struct("rank", "_fid", "dist2")).alias("_hits"),
         )
+        # NOTE: deliberately NOT persisted although referenced three
+        # times downstream — caching pins the subtree to a non-AQE plan
+        # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning),
+        # which costs far more than the recompute (measured 3x).
     )
     # guaranteed covered radius: one tile in every direction; lon tiles
     # shrink by COS_REF in the scaled metric

@@ -431,6 +431,16 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, probes, k=5, dim=64)
 
 
+@register("ann_cosine_ivf", None)
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2shp_spark.operators.similarity import cosine_topk_ivf
+
+    register_driver_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id % 50 = 0")
+    return cosine_topk_ivf(emb, probes, k=5, dim=64, n_cells=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Image pipeline (axis B; binary payloads → rows-only checks, the
 # pixel-level invariants are pytest-gated per input_hint)
