@@ -471,6 +471,63 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(image_table(spark, images_count_for_sf(sf_dir)), max_hamming=6)
 
 
+@register("image_resize", None)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2shp_spark.operators.multimodal import resize_images
+
+    return resize_images(
+        image_table(spark, min(images_count_for_sf(sf_dir), 200)), 16, 16
+    )
+
+
+@register("audio_features", None)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/PCM16 decode (stdlib, real) → per-clip features over a
+    deterministic synthesized audio table."""
+    import numpy as np
+    import pandas as pd
+
+    from osm2shp_spark.operators.multimodal import audio_features, encode_wav
+
+    n = min(images_count_for_sf(sf_dir), 200)
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(500 + i)
+        t = np.arange(1600 + 80 * (i % 20)) / 16000.0
+        s = 0.5 * np.sin(2 * np.pi * (200 + 5 * i) * t) + 0.05 * rng.standard_normal(
+            len(t)
+        )
+        rows.append({"audio_id": f"a-{i:05d}", "bytes": encode_wav(s)})
+    df = spark.createDataFrame(pd.DataFrame(rows), "audio_id STRING, bytes BINARY")
+    return audio_features(df)
+
+
+@register("video_frame_sample", None)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level fan-out over the deterministic rawgrid fixture codec
+    (real codecs gated behind NotImplementedError — no video lib
+    in-container; the Spark plumbing is fully real)."""
+    import pandas as pd
+
+    from osm2shp_spark.operators.multimodal import (
+        encode_rawgrid_video,
+        sample_video_frames,
+    )
+    from osm2shp_spark.sources.fixtures import make_image
+
+    n = max(images_count_for_sf(sf_dir) // 20, 5)
+    rows = []
+    for i in range(n):
+        frames = [make_image(i * 16 + j) for j in range(4 + i % 4)]
+        rows.append(
+            {"video_id": f"v-{i:05d}", "bytes": encode_rawgrid_video(frames), "fmt": "rawgrid"}
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "video_id STRING, bytes BINARY, fmt STRING"
+    )
+    return sample_video_frames(df, every_nth=2)
+
+
 @register("image_pip_classify", None)
 def q_image_pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star loop: georeferenced binary images classified by
@@ -662,6 +719,50 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
         )
         .filter(F.col("rank") <= 5)
+    )
+
+
+_SETOPS_ORACLE = """
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 40
+INTERSECT
+SELECT l_partkey AS partkey FROM lineitem WHERE l_discount > 0.08e0
+EXCEPT
+SELECT p_partkey AS partkey FROM part WHERE p_size < 5
+"""
+
+
+@register("set_ops", _SETOPS_ORACLE)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT coverage (SQL-standard left-to-right
+    precedence: (A ∩ B) − C)."""
+    register_driver_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    a = li.filter("l_quantity > 40").select(F.col("l_partkey").alias("partkey"))
+    b = li.filter("l_discount > 0.08e0").select(F.col("l_partkey").alias("partkey"))
+    c = (
+        spark.table("part")
+        .filter("p_size < 5")
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    return a.intersect(b).exceptAll(c).distinct()
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets", _GROUPING_SETS_ORACLE)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_driver_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )
 
 
