@@ -636,6 +636,20 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_stream_sessionize", None)
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    event-time timeouts): gap sessionization; batch parity pytest-gated
+    (tests/test_stateful_streaming.py)."""
+    import os as _os
+
+    from osm2shp_spark.streaming.stateful import run_sessionize_over_parquet
+
+    return run_sessionize_over_parquet(
+        spark, _os.path.join(sf_dir, "events.parquet"), name="q_sessions_out"
+    )
+
+
 @register("events_stream_window", None)
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming path (readStream + watermark +
