@@ -609,7 +609,8 @@ _WINDOW_AGG_ORACLE = """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 1e6) / 1e6
+           AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -625,7 +626,13 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "60 minutes").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("total_value"),
         )
         .select(
             F.unix_timestamp("win.start").alias("window_start"),
@@ -668,13 +675,23 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage (window / top-k / rollup over driver tables)
 # ---------------------------------------------------------------------------
 
-_PRICING_ORACLE = """
+# All money/quantity sums accumulate in DECIMAL (float partial-sum
+# ORDER depends on partitioning, which the driver's session may choose
+# differently), then quantize the DOUBLE output to exact micro-units:
+# the decimal->double CAST itself differs by 1 ulp between engines, but
+# the sums are exact 1e-6 multiples, so round(x*1e6)/1e6 lands both
+# engines on the identical double.
+def _q6(expr: str) -> str:
+    return f"round(CAST({expr} AS DOUBLE) * 1e6) / 1e6"
+
+
+_PRICING_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1e0 - l_discount)) AS sum_disc_price,
-       sum(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)) AS sum_charge,
-       avg(l_quantity) AS avg_qty,
+       {_q6("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty,
+       {_q6("sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS sum_base_price,
+       {_q6("sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1e0 - l_discount AS DECIMAL(18,6)))")} AS sum_disc_price,
+       {_q6("sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1e0 - l_discount AS DECIMAL(18,6)) * CAST(1e0 + l_tax AS DECIMAL(18,6)))")} AS sum_charge,
+       {_q6("sum(CAST(l_quantity AS DECIMAL(18,6)))")} / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -688,18 +705,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(18,6)")
+
+    def q6(c):
+        return F.round(c.cast("double") * F.lit(1e6)) / F.lit(1e6)
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
-            "sum_disc_price"
-        ),
-        F.sum(
-            F.col("l_extendedprice")
-            * (F.lit(1.0) - F.col("l_discount"))
-            * (F.lit(1.0) + F.col("l_tax"))
-        ).alias("sum_charge"),
-        F.avg("l_quantity").alias("avg_qty"),
+        q6(F.sum(qty)).alias("sum_qty"),
+        q6(F.sum(price)).alias("sum_base_price"),
+        q6(F.sum(price * disc)).alias("sum_disc_price"),
+        q6(F.sum(price * disc * tax)).alias("sum_charge"),
+        (q6(F.sum(qty)) / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -782,7 +801,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders, sum(o_totalprice) AS total
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e4) / 1e4 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -794,7 +814,16 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+                    * F.lit(1e4)
+                )
+                / F.lit(1e4)
+            ).alias("total"),
+        )
     )
 
 
