@@ -326,6 +326,94 @@ def knn_join(
     return solved.unionByName(brute)
 
 
+def knn_join_broadcast(
+    points: DataFrame,
+    features: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    feature_id: str = "node_id",
+    tile_size: float = TILE_SIZE,
+) -> DataFrame:
+    """Zero-shuffle exact kNN for broadcastable feature sets (the named-
+    place dimension table stays small even at planet scale). Identical
+    semantics and bit-identical distances to :func:`knn_join` (same
+    IEEE arithmetic, same (dist2, id) tie-break): features are bucketed
+    by tile into a numpy broadcast; each points partition computes its
+    3x3-tile candidates, applies the provable-radius test, and falls
+    back to a full vectorized scan for the rare unprovable points — all
+    in one ``mapInPandas`` pass, no shuffle at all.
+    """
+    import math
+
+    feat_pdf = features.select(feature_id, "lon", "lat").toPandas()
+    fid = feat_pdf[feature_id].to_numpy()
+    flon = feat_pdf["lon"].to_numpy(np.float64)
+    flat = feat_pdf["lat"].to_numpy(np.float64)
+    tx = np.floor(flon / tile_size).astype(np.int64)
+    ty = np.floor(flat / tile_size).astype(np.int64)
+    buckets: dict[tuple[int, int], np.ndarray] = {}
+    order = np.lexsort((ty, tx))
+    sorted_keys = np.stack([tx[order], ty[order]], axis=1)
+    starts = np.flatnonzero(
+        np.concatenate(([True], np.any(np.diff(sorted_keys, axis=0) != 0, axis=1)))
+    )
+    bounds = np.append(starts, len(order))
+    for i, s in enumerate(starts):
+        key = (int(sorted_keys[s, 0]), int(sorted_keys[s, 1]))
+        buckets[key] = order[s : bounds[i + 1]]
+    bc = points.sparkSession.sparkContext.broadcast((buckets, fid, flon, flat))
+    rho2 = (tile_size * COS_REF) ** 2
+    ts = float(tile_size)
+
+    out_schema = (
+        f"{point_id} {dict((f.name, f.dataType.simpleString()) for f in points.schema.fields)[point_id]}, "
+        f"rank INT, {feature_id} {dict((f.name, f.dataType.simpleString()) for f in features.schema.fields)[feature_id]}, "
+        "dist2 DOUBLE"
+    )
+
+    def run(batches):
+        buckets_, fid_, flon_, flat_ = bc.value
+
+        def topk_among(pidv, plon, plat, cand_idx):
+            dlon = plon - flon_[cand_idx]
+            dlat = plat - flat_[cand_idx]
+            d2 = dlon * dlon * COS_REF2 + dlat * dlat
+            o = np.lexsort((fid_[cand_idx], d2))[:k]
+            return cand_idx[o], d2[o]
+
+        for pdf in batches:
+            rows = []
+            pids = pdf[point_id].to_numpy()
+            plons = pdf["lon"].to_numpy(np.float64)
+            plats = pdf["lat"].to_numpy(np.float64)
+            ptx = np.floor(plons / ts).astype(np.int64)
+            pty = np.floor(plats / ts).astype(np.int64)
+            all_idx = np.arange(len(fid_))
+            for i in range(len(pdf)):
+                cand = [
+                    buckets_.get((int(ptx[i]) + dx, int(pty[i]) + dy))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+                cand = [c for c in cand if c is not None]
+                solved = False
+                if cand:
+                    idx = np.concatenate(cand)
+                    top_i, top_d = topk_among(pids[i], plons[i], plats[i], idx)
+                    if len(top_i) >= k and top_d[-1] <= rho2:
+                        solved = True
+                if not solved:
+                    top_i, top_d = topk_among(pids[i], plons[i], plats[i], all_idx)
+                for r, (j, d) in enumerate(zip(top_i, top_d), start=1):
+                    rows.append((pids[i], r, fid_[j], float(d)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[point_id, "rank", feature_id, "dist2"]
+                )
+
+    return points.select(point_id, "lon", "lat").mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # N5: raster-tile ↔ vector-layer join
 # ---------------------------------------------------------------------------

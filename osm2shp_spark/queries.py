@@ -226,6 +226,19 @@ def q_knn_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(imgs, places, k=3)
 
 
+@register("knn_places_broadcast", _KNN_ORACLE)
+def q_knn_places_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle broadcast kNN path (same oracle as knn_places —
+    bit-identical results required)."""
+    from osm2shp_spark.operators.spatial import knn_join_broadcast
+
+    imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
+    places = classify_nodes(synthetic_nodes(spark, sf_dir)).select(
+        "node_id", "lon", "lat"
+    )
+    return knn_join_broadcast(imgs, places, k=3)
+
+
 _TILE_JOIN_ORACLE = f"""
 WITH nodes AS ({NODES_SQL}),
 images AS ({IMAGES_SQL}),
