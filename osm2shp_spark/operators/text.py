@@ -9,8 +9,11 @@ every operator is value-checked by the driver gate. Constants use the
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from osm2shp_spark.operators.spatial import dlit
 
@@ -37,16 +40,25 @@ def _toks_sql_duck(text_col: str) -> str:
     return f"string_split(lower({text_col}), ' ')"
 
 
+#: BPE-style pre-tokenizer classes (letters / digits / other-symbol
+#: runs) — the standard cheap token-count estimator; the character-
+#: class pattern evaluates identically under Java regex (Spark) and
+#: RE2 (DuckDB)
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc token statistics: n_tokens, n_distinct, n_chars_measured,
-    type-token ratio."""
+    """Per-doc token statistics: whitespace tokens, distinct tokens,
+    BPE-ish regex token count, chars, type-token ratio."""
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
         nd.alias("n_distinct"),
+        bpe.alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_measured"),
         (nd.cast("double") / n).alias("type_token_ratio"),
     )
@@ -59,6 +71,7 @@ WITH docs AS ({docs_sql})
 SELECT doc_id,
        len({t}) AS n_tokens,
        len(list_distinct({t})) AS n_distinct,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
        length(text) AS n_chars_measured,
        CAST(len(list_distinct({t})) AS DOUBLE) / len({t}) AS type_token_ratio
 FROM docs
@@ -161,6 +174,70 @@ SELECT doc_id,
        punct_ratio, stop_hits
 FROM m
 """
+
+
+def winnow_fingerprints(
+    docs: DataFrame, kgram: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the classic rolling-hash local
+    minima scheme from the public MOSS/winnowing paper): k-gram rolling
+    hashes over the normalized character stream, keep each window's
+    minimum → a compact, position-robust fingerprint set. Output:
+    (doc_id, n_fingerprints, min_fp, fp_xor) — the set summary columns
+    downstream dedup joins key on."""
+    B = np.uint64(257)
+    MOD_MASK = np.uint64((1 << 61) - 1)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_fingerprints", T.LongType()),
+                T.StructField("min_fp", T.LongType()),
+                T.StructField("fp_xor", T.LongType()),
+            ]
+        )
+    )
+    def _w(text: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in text:
+            s = np.frombuffer(" ".join((t or "").lower().split()).encode(), np.uint8)
+            if len(s) < kgram:
+                out.append((0, 0, 0))
+                continue
+            with np.errstate(over="ignore"):
+                # rolling polynomial hash of all k-grams, vectorized:
+                # prefix hashes with wraparound uint64 arithmetic
+                powers = np.empty(len(s), np.uint64)
+                powers[0] = np.uint64(1)
+                for i in range(1, len(s)):
+                    powers[i] = powers[i - 1] * B
+                pref = np.zeros(len(s) + 1, np.uint64)
+                for i in range(len(s)):
+                    pref[i + 1] = pref[i] * B + np.uint64(s[i])
+                kg = pref[kgram:] - pref[:-kgram] * powers[kgram]
+                kg &= MOD_MASK
+                # winnow: min per sliding window (rightmost-min rule)
+                n = len(kg) - window + 1
+                if n <= 0:
+                    picks = {int(kg.min())}
+                else:
+                    idx = np.array(
+                        [int(np.flatnonzero(kg[i : i + window] == kg[i : i + window].min())[-1]) + i for i in range(n)]
+                    )
+                    picks = {int(kg[i]) for i in np.unique(idx)}
+            arr = np.array(sorted(picks), np.uint64)
+            x = np.uint64(0)
+            for v in arr:
+                x ^= v
+            out.append((len(arr), int(arr[0]), int(np.int64(x))))
+        return pd.DataFrame(out, columns=["n_fingerprints", "min_fp", "fp_xor"])
+
+    return docs.select("doc_id", _w(F.col("text")).alias("_fp")).select(
+        "doc_id",
+        F.col("_fp.n_fingerprints").alias("n_fingerprints"),
+        F.col("_fp.min_fp").alias("min_fp"),
+        F.col("_fp.fp_xor").alias("fp_xor"),
+    )
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:

@@ -377,6 +377,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+@register("doc_winnow_fingerprint", None)
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS scheme); determinism +
+    identical-doc collision pytest-gated."""
+    from osm2shp_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 _ANN_ORACLE = f"""
 WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 d AS (
