@@ -90,12 +90,21 @@ ways_assembled AS (
     SELECT id AS way_id, layer, kind, CAST(n_refs AS INTEGER) AS n_pts,
            count(*) AS n_resolved,
            list(lon ORDER BY pos) AS lons,
-           list(lat ORDER BY pos) AS lats
+           list(lat ORDER BY pos) AS lats,
+           CAST(sum(CAST(floor(lon * 1e6 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS lon_qsum,
+           CAST(sum(CAST(floor(lat * 1e6 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS lat_qsum,
+           CAST(sum(pos * CAST(floor(lon * 1e6 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS lon_qwsum,
+           CAST(sum(pos * CAST(floor(lat * 1e6 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS lat_qwsum
     FROM ways_joined
     GROUP BY id, layer, kind, n_refs
 ),
 assembled AS (
-    SELECT way_id, layer, kind, n_pts, lons, lats
+    SELECT way_id, layer, kind, n_pts, lons, lats,
+           lon_qsum, lat_qsum, lon_qwsum, lat_qwsum
     FROM ways_assembled WHERE n_resolved = n_pts
 )
 """
@@ -105,14 +114,56 @@ assembled AS (
 # Flagship: way-geometry assembly (O3-O5, O7-O13)
 # ---------------------------------------------------------------------------
 
-@register(
-    "way_assembly",
-    _geo_ctes() + "SELECT * FROM assembled",
-)
+#: BIGINT micro-degree quantizer, IEEE-identical in Spark and DuckDB
+#: (floor, not round: DuckDB rounds float->int casts, Spark truncates —
+#: floor(x*1e6 + 0.5) sidesteps both engines' cast conventions).
+def _q6i(col: str) -> str:
+    return f"CAST(floor({col} * 1e6 + 0.5e0) AS BIGINT)"
+
+
+_WAY_ASSEMBLY_ORACLE = _geo_ctes() + """
+SELECT way_id, layer, kind, n_pts,
+       lons[1] AS first_lon, lats[1] AS first_lat,
+       lons[-1] AS last_lon, lats[-1] AS last_lat,
+       lon_qsum, lat_qsum, lon_qwsum, lat_qwsum
+FROM assembled
+"""
+
+
+@register("way_assembly", _WAY_ASSEMBLY_ORACLE)
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship O12/O13 assembly. The operator itself returns the raw
+    parallel coordinate arrays (``assemble_ways``, pytest-parity-
+    checked); the driver gate cannot canonicalize ARRAY cells, so the
+    registered projection carries FULL value coverage of the arrays as
+    scalars: exact first/last coords (untouched doubles) + quantized
+    positional checksums (order-sensitive — any permutation or value
+    drift changes lon_qwsum/lat_qwsum)."""
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    return assemble_ways(nodes, ways)
+    qsum = lambda c: (  # noqa: E731
+        f"aggregate(transform({c}, x -> {_q6i('x')}), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    qwsum = lambda c: (  # noqa: E731
+        f"aggregate(zip_with({c}, sequence(1, size({c})), "
+        f"(x, i) -> CAST(i AS BIGINT) * {_q6i('x')}), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return assemble_ways(nodes, ways).select(
+        "way_id",
+        "layer",
+        "kind",
+        "n_pts",
+        F.element_at("lons", 1).alias("first_lon"),
+        F.element_at("lats", 1).alias("first_lat"),
+        F.element_at("lons", -1).alias("last_lon"),
+        F.element_at("lats", -1).alias("last_lat"),
+        F.expr(qsum("lons")).alias("lon_qsum"),
+        F.expr(qsum("lats")).alias("lat_qsum"),
+        F.expr(qwsum("lons")).alias("lon_qwsum"),
+        F.expr(qwsum("lats")).alias("lat_qwsum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +536,21 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("image_features", None)
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(image_table(spark, images_count_for_sf(sf_dir)))
+    """Visual features; the 4x4 thumbnail rides flattened to 16 scalar
+    columns (the driver canonicalizer cannot hash ARRAY cells)."""
+    feats = extract_features(image_table(spark, images_count_for_sf(sf_dir)))
+    return feats.select(
+        "image_id",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        "contrast",
+        "edge_energy",
+        *[
+            F.element_at("thumb", i + 1).alias(f"thumb_{i:02d}")
+            for i in range(16)
+        ],
+    )
 
 
 @register("image_phash_dedup", None)
