@@ -149,6 +149,11 @@ def decode_png(data: bytes) -> np.ndarray:
 # dispatch
 # ---------------------------------------------------------------------------
 
+#: formats whose decode(encode(x)) round-trip is bit-exact — their
+#: round-trip PSNR is infinite by construction, no need to measure it
+LOSSLESS_FMTS = frozenset({"ppm", "png"})
+
+
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "ppm":
         return encode_ppm(arr)

@@ -168,8 +168,69 @@ def jaccard_pairs_blocked(
 
 
 # ---------------------------------------------------------------------------
+# Portable hash primitives (identical SQL text runs on Spark and DuckDB)
+# ---------------------------------------------------------------------------
+#
+# Both engines agree bit-for-bit on md5 of UTF-8 strings; 15 hex chars
+# = 60 bits always fit a signed BIGINT. Every hash below is therefore
+# *SQL-expressible in both dialects*, which is what lets the MinHash /
+# SimHash pipelines carry full DuckDB oracles in the driver gate while
+# staying 100% JVM-side (no Python at all) in Spark.
+
+def _md5_bigint(expr: str, dialect: str) -> str:
+    """60-bit integer hash of a string expression."""
+    if dialect == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH (the cross-block scale path)
 # ---------------------------------------------------------------------------
+
+#: portable minhash geometry: 64 hashes, 16 bands x 4 rows
+#: → s-curve threshold ~ (1/16)^(1/4) ~ 0.5 (same as the fast path)
+
+def _minhash_sig_sql(text_col: str, dialect: str, k: int = 3) -> str:
+    """Signature expression: array of 64 min-hashes over token
+    k-shingles; identical semantics in both dialects. Docs shorter than
+    k tokens pad with '' (mirrors the fast path)."""
+    if dialect == "spark":
+        toks0 = f"split(lower({text_col}), ' ')"
+        toks = (
+            f"CASE WHEN size({toks0}) < {k} THEN concat({toks0}, "
+            f"array_repeat('', {k} - size({toks0}))) ELSE {toks0} END"
+        )
+        sh = (
+            f"transform(sequence(1, size(_toks) - {k - 1}), i -> "
+            f"concat_ws(' ', "
+            + ", ".join(f"element_at(_toks, i + {d})" for d in range(k))
+            + "))"
+        )
+        hj = _md5_bigint("concat(CAST(j AS STRING), ':', s)", "spark")
+        sig = (
+            f"transform(sequence(0, {_NUM_HASHES - 1}), j -> "
+            f"array_min(transform(_shingles, s -> {hj})))"
+        )
+        return toks, sh, sig
+    toks0 = f"string_split(lower({text_col}), ' ')"
+    toks = (
+        f"CASE WHEN len({toks0}) < {k} THEN list_concat({toks0}, "
+        f"list_transform(generate_series(1, {k} - len({toks0})), x -> '')) "
+        f"ELSE {toks0} END"
+    )
+    sh = (
+        f"list_transform(generate_series(1, len(_toks) - {k - 1}), i -> "
+        + " || ' ' || ".join(f"_toks[i + {d}]" for d in range(k))
+        + ")"
+    )
+    hj = _md5_bigint("CAST(j AS VARCHAR) || ':' || s", "duckdb")
+    sig = (
+        f"list_transform(generate_series(0, {_NUM_HASHES - 1}), j -> "
+        f"list_min(list_transform(_shingles, s -> {hj})))"
+    )
+    return toks, sh, sig
+
 
 def minhash_near_dups(
     docs: DataFrame,
@@ -178,12 +239,120 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Banded-LSH candidate generation + exact shingle-Jaccard verify.
+    """Banded-LSH candidate generation over *portable* md5-based
+    MinHash signatures — pure Catalyst (codegen'd JVM expressions, zero
+    Python), value-checked end-to-end by the DuckDB twin
+    (:func:`minhash_near_dups_oracle`).
 
-    Output: (doc_a, doc_b, est_jaccard) pairs whose *signature*
-    agreement ≥ threshold, candidates limited to band collisions
-    (16 bands x 4 rows over 64 MinHashes). The verify step makes
-    precision exact; recall follows the standard LSH s-curve.
+    Output: (doc_a, doc_b, est_jaccard) pairs whose signature agreement
+    ≥ threshold, candidates limited to band collisions (16 bands x 4
+    rows over 64 MinHashes, banding on the raw 4-hash slice so the
+    bucket key needs no engine-specific hash function). Precision of
+    the estimate is exact; recall follows the standard LSH s-curve.
+
+    Scale: identical join shape to :func:`minhash_near_dups_fast` (the
+    crc32+numpy Arrow-UDF variant, ~64x fewer hash invocations per
+    shingle — prefer it when oracle parity isn't needed).
+    """
+    rows_per_band = _NUM_HASHES // _BANDS
+    toks, sh, sig = _minhash_sig_sql(text_col, "spark", shingle_k)
+    sigd = (
+        docs.select(F.col(id_col).alias("_id"), F.expr(toks).alias("_toks"))
+        .select("_id", F.expr(sh).alias("_shingles"))
+        .select("_id", F.expr(sig).alias("_sig"))
+    )
+    banded = sigd.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("_band", "_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._sig").alias("_siga"),
+            F.col("b._sig").alias("_sigb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree.cast("double") / F.lit(float(_NUM_HASHES))
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def minhash_near_dups_oracle(
+    docs_sql: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`minhash_near_dups` (same signatures, same
+    banding, same estimate arithmetic)."""
+    rows_per_band = _NUM_HASHES // _BANDS
+    toks, sh, sig = _minhash_sig_sql("text", "duckdb", shingle_k)
+    return f"""
+WITH docs AS ({docs_sql}),
+t AS (SELECT doc_id AS _id, {toks} AS _toks FROM docs),
+s AS (SELECT _id, {sh} AS _shingles FROM t),
+sig AS (SELECT _id, {sig} AS _sig FROM s),
+banded AS (
+    SELECT _id, _sig, g.b AS _band,
+           CASE g.b {' '.join(f'WHEN {b} THEN list_slice(_sig, {b * rows_per_band + 1}, {(b + 1) * rows_per_band})' for b in range(_BANDS))} END AS _key
+    FROM sig, generate_series(0, {_BANDS - 1}) AS g(b)
+),
+pairs AS (
+    SELECT DISTINCT a._id AS doc_a, b._id AS doc_b
+    FROM banded a JOIN banded b
+      ON a._band = b._band AND a._key = b._key AND a._id < b._id
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_filter(list_zip(sa._sig, sb._sig),
+                                z -> z[1] = z[2])) AS DOUBLE)
+             / {float(_NUM_HASHES)}e0 AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa._id = p.doc_a
+    JOIN sig sb ON sb._id = p.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= {threshold}e0
+"""
+
+
+def minhash_near_dups_fast(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-UDF MinHash variant (crc32 shingles + vectorized
+    (a*x+b) mod p family): one hash pass per shingle instead of 64 md5
+    calls — the throughput choice when DuckDB parity isn't required.
+
+    Note on the hash family: a*x can exceed 2^64, so the product wraps
+    mod 2^64 *before* the mod-p reduction — the family is a
+    deterministic wraparound mix, not exact Carter-Wegman universal
+    hashing. Empirical recall/precision are pytest-gated instead
+    (tests/test_training_ops.py).
     """
     sig = docs.select(
         F.col(id_col).alias("_id"), minhash_signature_udf(shingle_k)(text_col).alias("_sig")
@@ -233,17 +402,134 @@ def minhash_near_dups(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+#: portable simhash geometry: 60 bits (15 hex chars of md5), 4 x 15-bit
+#: bands → pigeonhole recall guarantee for hamming <= 3
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+
+
+def _simhash_sql(text_col: str, dialect: str) -> tuple[str, str]:
+    """(token-hash-list expr, simhash-from-_hs expr) for a dialect.
+    SimHash over the distinct-token set: bit b of the fingerprint is 1
+    iff more than half the token hashes have bit b set."""
+    if dialect == "spark":
+        hs = (
+            f"transform(array_distinct(split(lower({text_col}), ' ')), "
+            f"t -> {_md5_bigint('t', 'spark')})"
+        )
+        sim = (
+            f"aggregate(transform(sequence(0, {_SIMHASH_BITS - 1}), b -> "
+            f"CASE WHEN 2 * size(filter(_hs, h -> (shiftright(h, b) & 1) = 1)) "
+            f"> size(_hs) THEN shiftleft(CAST(1 AS BIGINT), b) "
+            f"ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        return hs, sim
+    hs = (
+        f"list_transform(list_distinct(string_split(lower({text_col}), ' ')), "
+        f"t -> {_md5_bigint('t', 'duckdb')})"
+    )
+    sim = (
+        f"CAST(list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), "
+        f"b -> CASE WHEN 2 * len(list_filter(_hs, h -> ((h >> b) & 1) = 1)) "
+        f"> len(_hs) THEN (CAST(1 AS BIGINT) << b) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    return hs, sim
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """64-bit SimHash near-dup pairs with hamming distance ≤ k.
+    """Portable 60-bit SimHash near-dup pairs with hamming ≤ k — pure
+    Catalyst (zero Python), DuckDB-oracle-checked end to end
+    (:func:`simhash_near_dups_oracle`).
 
-    Blocking: 4 x 16-bit bands — any pair within hamming ≤ 3 shares at
+    Blocking: 4 x 15-bit bands — any pair within hamming ≤ 3 shares at
     least one exact band (pigeonhole), so recall is 100%; the hamming
     verify keeps precision exact. Output: (doc_a, doc_b, hamming).
+
+    Scale: map-only fingerprinting (one expression per row, no
+    shuffle), then the banded equi-join shuffles only (id, 8-byte key)
+    rows. The crc32+numpy Arrow-UDF twin is
+    :func:`simhash_near_dups_fast`.
+    """
+    if max_hamming >= _SIMHASH_BANDS:  # pragma: no cover - guard
+        raise ValueError("banding guarantees recall only for hamming < bands")
+    hs, sim = _simhash_sql(text_col, "spark")
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), F.expr(hs).alias("_hs"))
+        .select("_id", F.expr(sim).alias("_sh"))
+    )
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sh"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("_band", "_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_near_dups_oracle(docs_sql: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_near_dups`."""
+    hs, sim = _simhash_sql("text", "duckdb")
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    return f"""
+WITH docs AS ({docs_sql}),
+h AS (SELECT doc_id AS _id, {hs} AS _hs FROM docs),
+s AS (SELECT _id, {sim} AS _sh FROM h),
+banded AS (
+    SELECT _id, _sh, g.b AS _band, (_sh >> (g.b * {width})) & {mask} AS _key
+    FROM s, generate_series(0, {_SIMHASH_BANDS - 1}) AS g(b)
+)
+SELECT DISTINCT a._id AS doc_a, b._id AS doc_b,
+       CAST(bit_count(xor(a._sh, b._sh)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a._band = b._band AND a._key = b._key AND a._id < b._id
+WHERE bit_count(xor(a._sh, b._sh)) <= {max_hamming}
+"""
+
+
+def simhash_near_dups_fast(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-UDF 64-bit SimHash variant (crc32 token hashes, numpy bit
+    math): 4 x 16-bit bands, recall 100% for hamming ≤ 3. The
+    throughput twin of :func:`simhash_near_dups` when DuckDB parity
+    isn't required. Output: (doc_a, doc_b, hamming).
     """
     sh = docs.select(F.col(id_col).alias("_id"), simhash_udf()(text_col).alias("_sh"))
     banded = sh.select(

@@ -41,8 +41,14 @@ def decode_stats(images: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     arr = I.decode_image(r.bytes, r.fmt)
-                    rt = I.decode_image(I.encode_image(arr, r.fmt), r.fmt)
-                    p = I.psnr(arr, rt)
+                    if r.fmt in I.LOSSLESS_FMTS:
+                        # round-trip PSNR is identically infinite for a
+                        # lossless codec — skip the re-encode (halves
+                        # the codec cost of the biggest map stage)
+                        p = float("inf")
+                    else:
+                        rt = I.decode_image(I.encode_image(arr, r.fmt), r.fmt)
+                        p = I.psnr(arr, rt)
                     out.append(
                         (
                             r.image_id,
@@ -115,8 +121,17 @@ def extract_features(images: DataFrame) -> DataFrame:
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Perceptual near-duplicate image pairs by phash hamming distance,
-    banded like SimHash (4x16-bit bands → exact recall for ≤3 bit
-    flips). Output: (img_a, img_b, hamming)."""
+    banded like SimHash with ``max_hamming + 1`` bands over the 64-bit
+    hash — the pigeonhole guarantee (some band survives untouched) then
+    holds for EXACTLY the requested distance, for any ``max_hamming``
+    ≤ 63. Output: (img_a, img_b, hamming)."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    # band widths: `extra` bands of base+1 bits, the rest base bits
+    widths = [base + 1 if i < extra else base for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
+    # full-width band (max_hamming=0): the signed-64 all-ones mask is -1
+    masks = [((1 << w) - 1) if w < 64 else -1 for w in widths]
     t = images.select(F.col("image_id").alias("_id"), F.col("phash").alias("_ph"))
     banded = t.select(
         "_id",
@@ -124,8 +139,10 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("_ph"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("_ph"), starts[i]).bitwiseAND(
+                        F.lit(masks[i])
+                    )
+                    for i in range(n_bands)
                 ]
             )
         ).alias("_band", "_key"),

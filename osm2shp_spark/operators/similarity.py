@@ -116,26 +116,47 @@ def _planes(dim: int, seed: int = 77) -> np.ndarray:
     return rng.standard_normal((_LSH_BANDS * _LSH_BITS, dim))
 
 
-def band_buckets_udf(dim: int):
-    """array<int> of per-band bucket keys (band index tagged in the
-    high bits so different bands never collide in the join key)."""
+def band_key_exprs(vec_col: str, dialect: str, dim: int) -> list[str]:
+    """Per-band bucket-key SQL expressions (band index tagged in the
+    high bits so different bands never collide in the join key).
+
+    The hyperplanes are fixed seeded literals baked into the SQL text
+    (repr round-trips doubles exactly; both engines' decimal parsers
+    are correctly rounding), and each sign bit is the SAME sequential
+    left-fold dot product on both engines (see ``_dot_expr`` /
+    ``duck_dot``) — so bucket assignment is bit-identical in Spark and
+    DuckDB and the whole LSH pipeline is oracle-checkable. Spark-side
+    this is pure Catalyst: the fingerprinting stage is JVM codegen, no
+    Python, no Arrow transfer.
+    """
+    from osm2shp_spark.operators.spatial import dlit
+
     planes = _planes(dim)
+    keys = []
+    for band in range(_LSH_BANDS):
+        terms = []
+        for bit in range(_LSH_BITS):
+            lits = ", ".join(dlit(v) for v in planes[band * _LSH_BITS + bit])
+            if dialect == "spark":
+                dot = (
+                    f"aggregate(zip_with({vec_col}, array({lits}), "
+                    f"(x, y) -> CAST(x AS DOUBLE) * y), "
+                    f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+            else:
+                dot = (
+                    f"list_reduce(list_transform(list_zip("
+                    f"CAST({vec_col} AS DOUBLE[]), [{lits}]), "
+                    f"s -> s[1] * s[2]), (acc, v) -> acc + v)"
+                )
+            terms.append(f"(CASE WHEN {dot} > 0e0 THEN {1 << bit} ELSE 0 END)")
+        keys.append(f"CAST({band << 16} + " + " + ".join(terms) + " AS INT)")
+    return keys
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _b(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy())
-        signs = (m @ planes.T) > 0  # (n, B*r)
-        weights = 1 << np.arange(_LSH_BITS)
-        out = []
-        for row in signs:
-            keys = [
-                np.int32((band << 16) | int((row[band * _LSH_BITS : (band + 1) * _LSH_BITS] * weights).sum()))
-                for band in range(_LSH_BANDS)
-            ]
-            out.append(keys)
-        return pd.Series(out)
 
-    return _b
+def _band_buckets_col(vec_col: str, dim: int) -> F.Column:
+    """Spark array<int> column of the per-band bucket keys."""
+    return F.array(*[F.expr(k) for k in band_key_exprs(vec_col, "spark", dim)])
 
 
 def cosine_topk_lsh(
@@ -147,18 +168,19 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: banded-LSH candidates, exact re-rank.
-    Same output schema as :func:`cosine_topk`; recall measured in tests.
+    Same output schema as :func:`cosine_topk`; recall measured in tests
+    AND the full pipeline (bucketing included) is value-checked against
+    :func:`cosine_topk_lsh_oracle` in the driver gate.
     """
-    buckets = band_buckets_udf(dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        F.explode(buckets(vec_col)).alias("_bkt"),
+        F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pvec"),
-        F.explode(buckets(vec_col)).alias("_bkt"),
+        F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
     sim = cosine_sim_col("_pvec", "_cvec")
     w = Window.partitionBy("probe_id").orderBy(
@@ -281,13 +303,14 @@ def embedding_near_dups(
     verify. Near-identical vectors share at least one band bucket with
     probability >0.98 (see the s-curve note above); the exact cosine
     filter keeps precision at 1. Output: (vec_a, vec_b, cosine),
-    vec_a < vec_b.
+    vec_a < vec_b. Bucketing + verify are both portable SQL — the
+    driver gate value-checks the pair set AND the cosines against
+    :func:`embedding_near_dups_oracle`.
     """
-    buckets = band_buckets_udf(dim)
     t = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(buckets(vec_col)).alias("_bkt"),
+        F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
     a = t.alias("a")
     b = t.alias("b")
@@ -305,3 +328,63 @@ def embedding_near_dups(
         .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dups_oracle(
+    corpus_sql: str, threshold: float = 0.95, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dups`: identical literal
+    hyperplanes, identical fold-order sign bits, identical cosine."""
+    keys = ", ".join(band_key_exprs("embedding", "duckdb", dim))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+b AS (
+    SELECT vec_id AS _id, unnest([{keys}]) AS _bkt FROM corpus
+),
+pairs AS (
+    SELECT DISTINCT x._id AS a_id, y._id AS b_id
+    FROM b x JOIN b y ON x._bkt = y._bkt AND x._id < y._id
+),
+scored AS (
+    SELECT p.a_id AS vec_a, p.b_id AS vec_b,
+           {duck_cosine('ca.embedding', 'cb.embedding')} AS cosine
+    FROM pairs p
+    JOIN corpus ca ON ca.vec_id = p.a_id
+    JOIN corpus cb ON cb.vec_id = p.b_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}e0
+"""
+
+
+def cosine_topk_lsh_oracle(
+    corpus_sql: str, probes_sql: str, k: int, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_lsh` (bucketing, candidate
+    join, exact re-rank, deterministic tie-break)."""
+    keys = ", ".join(band_key_exprs("embedding", "duckdb", dim))
+    return f"""
+WITH c AS ({corpus_sql}),
+p AS ({probes_sql}),
+cb AS (SELECT vec_id AS neighbor_id, unnest([{keys}]) AS _bkt FROM c),
+pb AS (SELECT vec_id AS probe_id, unnest([{keys}]) AS _bkt FROM p),
+cand AS (
+    SELECT DISTINCT pb.probe_id, cb.neighbor_id
+    FROM cb JOIN pb ON cb._bkt = pb._bkt
+    WHERE pb.probe_id <> cb.neighbor_id
+),
+scored AS (
+    SELECT cand.probe_id, cand.neighbor_id,
+           {duck_cosine('pe.embedding', 'ce.embedding')} AS cosine
+    FROM cand
+    JOIN c ce ON ce.vec_id = cand.neighbor_id
+    JOIN p pe ON pe.vec_id = cand.probe_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank"
+    FROM scored
+)
+SELECT probe_id, "rank", neighbor_id, cosine FROM r WHERE "rank" <= {k}
+"""

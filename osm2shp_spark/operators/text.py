@@ -186,6 +186,11 @@ def winnow_fingerprints(
     (doc_id, n_fingerprints, min_fp, fp_xor) — the set summary columns
     downstream dedup joins key on."""
     B = np.uint64(257)
+    #: 257 is odd => invertible mod 2^64; the prefix recurrence
+    #: pref[i+1] = pref[i]*B + s[i] then closes to the fully
+    #: vectorizable pref[i+1] = B^i * cumsum(s[j] * B^-j) — identical
+    #: wraparound arithmetic, no per-character Python loop.
+    INV_B = np.uint64(pow(257, -1, 1 << 64))
     MOD_MASK = np.uint64((1 << 61) - 1)
 
     @F.pandas_udf(
@@ -201,35 +206,46 @@ def winnow_fingerprints(
         out = []
         for t in text:
             s = np.frombuffer(" ".join((t or "").lower().split()).encode(), np.uint8)
-            if len(s) < kgram:
+            n = len(s)
+            if n < kgram:
                 out.append((0, 0, 0))
                 continue
             with np.errstate(over="ignore"):
-                # rolling polynomial hash of all k-grams, vectorized:
-                # prefix hashes with wraparound uint64 arithmetic
-                powers = np.empty(len(s), np.uint64)
+                powers = np.empty(n, np.uint64)
                 powers[0] = np.uint64(1)
-                for i in range(1, len(s)):
-                    powers[i] = powers[i - 1] * B
-                pref = np.zeros(len(s) + 1, np.uint64)
-                for i in range(len(s)):
-                    pref[i + 1] = pref[i] * B + np.uint64(s[i])
-                kg = pref[kgram:] - pref[:-kgram] * powers[kgram]
+                if n > 1:
+                    np.multiply.accumulate(
+                        np.full(n - 1, B, np.uint64), out=powers[1:]
+                    )
+                invpow = np.empty(n, np.uint64)
+                invpow[0] = np.uint64(1)
+                if n > 1:
+                    np.multiply.accumulate(
+                        np.full(n - 1, INV_B, np.uint64), out=invpow[1:]
+                    )
+                pref = np.empty(n + 1, np.uint64)
+                pref[0] = np.uint64(0)
+                pref[1:] = np.cumsum(s.astype(np.uint64) * invpow,
+                                     dtype=np.uint64) * powers
+                pk = np.uint64(pow(257, kgram, 1 << 64))
+                kg = pref[kgram:] - pref[:-kgram] * pk
                 kg &= MOD_MASK
                 # winnow: min per sliding window (rightmost-min rule)
-                n = len(kg) - window + 1
-                if n <= 0:
-                    picks = {int(kg.min())}
+                m = len(kg) - window + 1
+                if m <= 0:
+                    picks = kg.min(keepdims=True)
                 else:
-                    idx = np.array(
-                        [int(np.flatnonzero(kg[i : i + window] == kg[i : i + window].min())[-1]) + i for i in range(n)]
-                    )
-                    picks = {int(kg[i]) for i in np.unique(idx)}
-            arr = np.array(sorted(picks), np.uint64)
-            x = np.uint64(0)
-            for v in arr:
-                x ^= v
-            out.append((len(arr), int(arr[0]), int(np.int64(x))))
+                    win = np.lib.stride_tricks.sliding_window_view(kg, window)
+                    # argmin over the REVERSED window = rightmost min
+                    right = window - 1 - np.argmin(win[:, ::-1], axis=1)
+                    picks = np.unique(kg[np.unique(np.arange(m) + right)])
+            out.append(
+                (
+                    len(picks),
+                    int(picks.min()),
+                    int(np.bitwise_xor.reduce(picks).astype(np.int64)),
+                )
+            )
         return pd.DataFrame(out, columns=["n_fingerprints", "min_fp", "fp_xor"])
 
     return docs.select("doc_id", _w(F.col("text")).alias("_fp")).select(
@@ -238,6 +254,111 @@ def winnow_fingerprints(
         F.col("_fp.min_fp").alias("min_fp"),
         F.col("_fp.fp_xor").alias("fp_xor"),
     )
+
+
+def winnow_fingerprints_portable(
+    docs: DataFrame, kgram: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints with *portable* md5 k-gram hashes — the
+    same local-minima scheme as :func:`winnow_fingerprints` (rightmost-
+    min rule, distinct fingerprint set, same summary columns) but every
+    step is a Catalyst expression with an exact DuckDB twin
+    (:func:`winnow_fingerprints_oracle`), so the driver gate value-
+    checks the whole pipeline. The numpy rolling-hash UDF remains the
+    throughput path (one multiply per character vs one md5 per k-gram).
+    """
+    k, w = kgram, window
+    from osm2shp_spark.operators.dedup import _md5_bigint
+
+    h = _md5_bigint("substring(_s, i, %d)" % k, "spark")
+    kg = (
+        f"CASE WHEN length(_s) < {k} THEN CAST(NULL AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(1, length(_s) - {k - 1}), i -> {h}) END"
+    )
+    mins = (
+        f"CASE WHEN _kg IS NULL OR size(_kg) - {w - 1} <= 0 "
+        f"THEN CAST(NULL AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(1, size(_kg) - {w - 1}), "
+        f"i -> array_min(slice(_kg, i, {w}))) END"
+    )
+    picks = (
+        f"CASE WHEN _kg IS NULL THEN array()"
+        f" WHEN _mins IS NULL THEN array(array_min(_kg))"
+        f" ELSE array_distinct(transform(array_distinct("
+        f"transform(sequence(1, size(_mins)), i -> "
+        f"array_max(transform(sequence(i, i + {w - 1}), "
+        f"j -> IF(element_at(_kg, j) = element_at(_mins, i), j, 0))))), "
+        f"p -> element_at(_kg, p))) END"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+            ).alias("_s"),
+        )
+        .select("doc_id", F.expr(kg).alias("_kg"))
+        .select("doc_id", "_kg", F.expr(mins).alias("_mins"))
+        .select("doc_id", F.expr(picks).alias("_p"))
+        .select(
+            "doc_id",
+            F.size("_p").cast("long").alias("n_fingerprints"),
+            F.coalesce(F.array_min("_p"), F.lit(0).cast("long")).alias("min_fp"),
+            F.expr(
+                "aggregate(_p, CAST(0 AS BIGINT), (acc, v) -> acc ^ v)"
+            ).alias("fp_xor"),
+        )
+    )
+
+
+def winnow_fingerprints_oracle(
+    docs_sql: str, kgram: int = 5, window: int = 4
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints_portable`."""
+    k, w = kgram, window
+    from osm2shp_spark.operators.dedup import _md5_bigint
+
+    h = _md5_bigint(f"substr(_s, i, {k})", "duckdb")
+    return rf"""
+WITH docs AS ({docs_sql}),
+norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS _s
+    FROM docs
+),
+kgrams AS (
+    SELECT doc_id,
+           CASE WHEN length(_s) < {k} THEN NULL
+                ELSE list_transform(generate_series(1, length(_s) - {k - 1}),
+                                    i -> {h}) END AS _kg
+    FROM norm
+),
+winmins AS (
+    SELECT doc_id, _kg,
+           CASE WHEN _kg IS NULL OR len(_kg) - {w - 1} <= 0 THEN NULL
+                ELSE list_transform(generate_series(1, len(_kg) - {w - 1}),
+                                    i -> list_min(list_slice(_kg, i, i + {w - 1})))
+           END AS _mins
+    FROM kgrams
+),
+pickt AS (
+    SELECT doc_id,
+           CASE WHEN _kg IS NULL THEN []
+                WHEN _mins IS NULL THEN [list_min(_kg)]
+                ELSE list_distinct(list_transform(list_distinct(
+                    list_transform(generate_series(1, len(_mins)), i ->
+                        list_max(list_transform(generate_series(i, i + {w - 1}),
+                            j -> CASE WHEN _kg[j] = _mins[i] THEN j ELSE 0 END)))),
+                    p -> _kg[p])) END AS _p
+    FROM winmins
+)
+SELECT doc_id,
+       CAST(len(_p) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(list_min(_p), 0) AS BIGINT) AS min_fp,
+       CAST(CASE WHEN len(_p) = 0 THEN 0
+                 ELSE list_reduce(_p, (a, v) -> xor(a, v)) END
+            AS BIGINT) AS fp_xor
+FROM pickt
+"""
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:

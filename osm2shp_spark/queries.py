@@ -331,13 +331,17 @@ from osm2shp_spark.operators.dedup import (  # noqa: E402
     exact_dup_groups,
     jaccard_pairs_blocked,
     minhash_near_dups,
+    minhash_near_dups_oracle,
     simhash_near_dups,
+    simhash_near_dups_oracle,
 )
 from osm2shp_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_lsh,
+    cosine_topk_lsh_oracle,
     duck_cosine,
     embedding_near_dups,
+    embedding_near_dups_oracle,
 )
 from osm2shp_spark.operators.text import (  # noqa: E402
     doc_fingerprint,
@@ -428,13 +432,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
-@register("doc_winnow_fingerprint", None)
-def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (MOSS scheme); determinism +
-    identical-doc collision pytest-gated."""
-    from osm2shp_spark.operators.text import winnow_fingerprints
+from osm2shp_spark.operators.text import winnow_fingerprints_oracle  # noqa: E402
 
-    return winnow_fingerprints(_docs(spark, sf_dir))
+
+@register("doc_winnow_fingerprint", winnow_fingerprints_oracle(DOCS_PLAIN_SQL))
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local-minima fingerprints (MOSS scheme) — the portable
+    md5-k-gram variant with a full DuckDB oracle; the numpy rolling-hash
+    throughput twin is pytest-gated (tests/test_winnow.py)."""
+    from osm2shp_spark.operators.text import winnow_fingerprints_portable
+
+    return winnow_fingerprints_portable(_docs(spark, sf_dir))
 
 
 _ANN_ORACLE = f"""
@@ -465,39 +473,61 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, probes, k=5)
 
 
-# rows-only scale paths (non-SQL-expressible candidate generation)
-
-@register("minhash_near_dups", None)
+@register("minhash_near_dups", minhash_near_dups_oracle(DOCS_AUG_SQL, 0.5))
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs — portable md5 signatures, so
+    candidate generation AND the estimate are value-checked by the
+    DuckDB oracle (not rows-only)."""
     return minhash_near_dups(_docs_aug(spark, sf_dir), threshold=0.5)
 
 
-@register("simhash_near_dups", None)
+@register("simhash_near_dups", simhash_near_dups_oracle(DOCS_AUG_SQL, 3))
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 60-bit SimHash pairs (hamming ≤ 3, pigeonhole-exact
+    recall) — portable fingerprints, full DuckDB oracle."""
     return simhash_near_dups(_docs_aug(spark, sf_dir), max_hamming=3)
 
 
-@register("embedding_near_dups", None)
+#: embeddings corpus with injected perturbed near-dups (every 25th
+#: vector), identical float arithmetic in both dialects
+def _emb_aug_sql(dialect: str) -> str:
+    tf = "transform" if dialect == "spark" else "list_transform"
+    return f"""
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       {tf}(embedding, x -> CAST(x * 0.95e0 + 0.02e0 AS FLOAT)) AS embedding
+FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+@register(
+    "embedding_near_dups",
+    embedding_near_dups_oracle(_emb_aug_sql("duckdb"), threshold=0.9, dim=64),
+)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection on a corpus with injected perturbed copies
-    (every 25th vector duplicated with small noise) — the realistic
-    near-dup regime where the banded LSH's recall guarantee applies."""
+    (every 25th vector duplicated with small noise) — banded hyperplane
+    LSH + exact cosine verify, now fully value-checked: the hyperplanes
+    are seeded literals evaluated with the identical IEEE fold on both
+    engines, so candidate generation itself is oracle-verified."""
     register_driver_tables(spark, sf_dir)
-    aug = spark.sql(
-        """
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id,
-               transform(embedding, x -> CAST(x * 0.95e0 + 0.02e0 AS FLOAT))
-                   AS embedding
-        FROM embeddings WHERE vec_id % 25 = 0
-        """
-    )
+    aug = spark.sql(_emb_aug_sql("spark"))
     return embedding_near_dups(aug, threshold=0.9)
 
 
-@register("ann_cosine_lsh", None)
+_EMB_CORPUS_SQL = "SELECT vec_id, embedding FROM embeddings"
+_EMB_PROBES_SQL = _EMB_CORPUS_SQL + " WHERE vec_id % 50 = 0"
+
+
+@register(
+    "ann_cosine_lsh",
+    cosine_topk_lsh_oracle(_EMB_CORPUS_SQL, _EMB_PROBES_SQL, k=5, dim=64),
+)
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH approximate top-5 with exact re-rank — the full
+    pipeline (bucket assignment, candidate join, re-rank, tie-break)
+    replicated by the DuckDB oracle."""
     register_driver_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     probes = emb.filter("vec_id % 50 = 0")
@@ -602,7 +632,11 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from osm2shp_spark.sources.fixtures import make_image
 
-    n = max(images_count_for_sf(sf_dir) // 20, 5)
+    # fixture-constant count: the rawgrid codec is a deterministic
+    # stand-in (real video libs absent in-container), so the fan-out
+    # plumbing is exercised at a fixed size at every sf — which also
+    # makes the fan-out oracle closed-form at any scale factor
+    n = 20
     rows = []
     for i in range(n):
         frames = [make_image(i * 16 + j) for j in range(4 + i % 4)]
@@ -613,6 +647,31 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame(rows), "video_id STRING, bytes BINARY, fmt STRING"
     )
     return sample_video_frames(df, every_nth=2)
+
+
+#: the frame fan-out arithmetic (sf0.01 fixture: 20 videos, video i has
+#: 4 + i%4 frames, every 2nd sampled) is portable SQL — this twin
+#: value-checks the explode plumbing; pixel/phash content stays
+#: pytest-gated (tests/test_multimodal.py)
+_VIDEO_FANOUT_ORACLE = """
+WITH v AS (SELECT i FROM generate_series(0, 19) AS g(i)),
+f AS (
+    SELECT i,
+           unnest(list_transform(
+               generate_series(0, CAST(floor((4 + i % 4 - 1) / 2) AS INTEGER)),
+               j -> CAST(j * 2 AS INTEGER))) AS frame_idx
+    FROM v
+)
+SELECT 'v-' || lpad(CAST(i AS VARCHAR), 5, '0') AS video_id, frame_idx FROM f
+"""
+
+
+@register("video_frame_fanout", _VIDEO_FANOUT_ORACLE)
+def q_video_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame fan-out rows (video_id, frame_idx) of the video sampler —
+    the Spark-side explode plumbing value-checked against closed-form
+    SQL (frame content is fixture-codec territory, pytest-gated)."""
+    return q_video_frame_sample(spark, sf_dir).select("video_id", "frame_idx")
 
 
 @register("image_pip_classify", None)
@@ -730,10 +789,49 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_sessionize", None)
+#: closed sessions only: the event-time timeout fires once the FINAL
+#: watermark (max event time in ms minus the 10 s delay) passes
+#: session_end + gap; sessions still open when the stream drains stay
+#: in state and are NOT emitted — the oracle replicates that cut
+_STREAM_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets
+    FROM events
+),
+mx AS (SELECT max(epoch_ms(ts)) AS max_ems FROM events),
+flagged AS (
+    SELECT user_id, event_id, ets,
+           CASE WHEN ets - lag(ets) OVER w > {_SESSION_GAP_S}
+                OR lag(ets) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)
+),
+sessions AS (
+    SELECT user_id, ets,
+           sum(ns) OVER (
+               PARTITION BY user_id ORDER BY ets, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, count(*) AS n_events,
+           min(ets) AS session_start, max(ets) AS session_end
+    FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events FROM agg
+WHERE (session_end + {_SESSION_GAP_S}) * 1000
+      < (SELECT max_ems - 10000 FROM mx)
+"""
+
+
+@register("events_stream_sessionize", _STREAM_SESSIONIZE_ORACLE)
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
-    event-time timeouts): gap sessionization; batch parity pytest-gated
+    event-time timeouts): gap sessionization. The oracle replicates the
+    closed-session semantics exactly (watermark cut included); the
+    registered projection drops total_value — a float sum accumulated
+    in arrival order inside the state handler has no portable SQL twin
+    — and the full row including it is batch-parity pytest-gated
     (tests/test_stateful_streaming.py)."""
     import os as _os
 
@@ -741,14 +839,16 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_sessionize_over_parquet(
         spark, _os.path.join(sf_dir, "events.parquet"), name="q_sessions_out"
-    )
+    ).select("user_id", "session_start", "session_end", "n_events")
 
 
-@register("events_stream_window", None)
+@register("events_stream_window", _WINDOW_AGG_ORACLE)
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming path (readStream + watermark +
-    window + availableNow backfill) over the events parquet; equality
-    with the batch twin is pytest-gated."""
+    window + availableNow backfill) over the events parquet — value-
+    checked against the same DuckDB oracle as the batch twin (sums
+    accumulate in DECIMAL inside the streaming agg, so the result is
+    bitwise engine- and batching-independent)."""
     import os as _os
 
     from osm2shp_spark.streaming.windows import run_stream_over_parquet

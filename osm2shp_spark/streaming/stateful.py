@@ -52,8 +52,12 @@ def _sessionize(
             closed.append((user_id, s0, s1, n, v))
             state.remove()
     else:
-        rows = pd.concat([p for p in pdfs if len(p)])
-        rows = rows.sort_values(["ets", "event_id"])
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            # spurious empty invocation: leave state and its pending
+            # timeout untouched (pd.concat([]) would raise)
+            return
+        rows = pd.concat(chunks).sort_values(["ets", "event_id"])
         cur = list(state.get) if state.exists else None
         for ets, val in zip(rows["ets"], rows["value"]):
             ets = int(ets)
@@ -66,8 +70,16 @@ def _sessionize(
             cur[2] += 1
             cur[3] += float(val)
         state.update(tuple(cur))
-        # close the open tail once the watermark passes its gap window
-        state.setTimeoutTimestamp((cur[1] + SESSION_GAP_S) * 1000)
+        # close the open tail once the watermark passes its gap window;
+        # clamp above the current watermark — a late batch can leave
+        # session_end + gap at/behind it, and setTimeoutTimestamp
+        # throws on timestamps <= watermark
+        state.setTimeoutTimestamp(
+            max(
+                (cur[1] + SESSION_GAP_S) * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
 
     if closed:
         yield pd.DataFrame(

@@ -30,6 +30,23 @@ WINDOW_MINUTES = 60
 WATERMARK = "30 minutes"
 
 
+def _win_agg() -> list:
+    """Shared aggregate list: counts + DECIMAL-accumulated value sums
+    quantized back to exact 1e-6-multiple doubles — float partial-sum
+    order depends on partitioning (and on the engine), DECIMAL addition
+    doesn't, so batch, stream and the DuckDB oracle agree bitwise."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("total_value"),
+    ]
+
+
 def windowed_agg_stream(events: DataFrame) -> DataFrame:
     """Tumbling-window counts/sums per event_type with a 30-minute
     watermark (late rows beyond it are dropped, state is bounded)."""
@@ -39,7 +56,7 @@ def windowed_agg_stream(events: DataFrame) -> DataFrame:
             F.window("ts", f"{WINDOW_MINUTES} minutes").alias("win"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(*_win_agg())
         .select(
             F.unix_timestamp("win.start").alias("window_start"),
             "event_type",
@@ -56,7 +73,7 @@ def windowed_agg_batch(events: DataFrame) -> DataFrame:
         events.groupBy(
             F.window("ts", f"{WINDOW_MINUTES} minutes").alias("win"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(*_win_agg())
         .select(
             F.unix_timestamp("win.start").alias("window_start"),
             "event_type",
