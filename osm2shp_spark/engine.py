@@ -20,7 +20,7 @@ import os
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from osm2shp_spark.functions.udfs import with_geometry_meta, with_point_cells
@@ -38,6 +38,45 @@ class RunResult:
     snapshot_id: str
     counts: dict = field(default_factory=dict)
     outputs: dict = field(default_factory=dict)
+
+
+def _export_stage(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stage: str,
+    manifest: Manifest,
+    snapshot: str,
+    with_lineage: bool,
+) -> int:
+    """Write one layer-partitioned output and return its row count
+    WITHOUT a dedicated post-write ``count()`` rescan (at 100 TB those
+    are real jobs): with lineage on, the count is the sum of the
+    manifest's per-partition ``row_count`` rows (the digest pass reads
+    the written data once anyway — that scan is the lineage feature,
+    not overhead — and the manifest itself is tiny); with lineage off,
+    an ``Observation`` rides the write job itself, so the write is the
+    only job touching the data."""
+    if with_lineage:
+        write_partitioned(df, path, ["layer"])
+        written = spark.read.parquet(path).withColumn(
+            "part_key", F.xxhash64("layer")
+        )
+        manifest.append(partition_lineage(written, stage, "part_key", snapshot))
+        n = (
+            manifest.read()
+            .filter(
+                (F.col("stage") == stage) & (F.col("snapshot_id") == snapshot)
+            )
+            .agg(F.sum("row_count"))
+            .collect()[0][0]
+        )
+        return int(n or 0)
+    obs = Observation(f"rows_{stage}")
+    write_partitioned(
+        df.observe(obs, F.count(F.lit(1)).alias("n")), path, ["layer"]
+    )
+    return int(obs.get["n"])
 
 
 def run(
@@ -63,39 +102,20 @@ def run(
     # --- ways: assemble + geometry meta + cells --------------------------
     assembled = with_geometry_meta(assemble_ways(nodes, ways))
     way_out = os.path.join(out_dir, "ways")
-    write_partitioned(assembled, way_out, ["layer"])
     res.outputs["ways"] = way_out
-    written = spark.read.parquet(way_out)
-    res.counts["exported_ways"] = written.count()
-    if with_lineage:
-        manifest.append(
-            partition_lineage(
-                written.withColumn("part_key", F.xxhash64("layer")),
-                "ways",
-                "part_key",
-                snapshot,
-            )
-        )
+    res.counts["exported_ways"] = _export_stage(
+        spark, assembled, way_out, "ways", manifest, snapshot, with_lineage
+    )
 
     # --- nodes: point export + cells --------------------------------------
     points = with_point_cells(
         classify_nodes(nodes), s2_level=s2_level, hex_resolutions=hex_resolutions
     )
     node_out = os.path.join(out_dir, "points")
-    write_partitioned(points, node_out, ["layer"])
     res.outputs["points"] = node_out
-    res.counts["exported_nodes"] = spark.read.parquet(node_out).count()
-    if with_lineage:
-        manifest.append(
-            partition_lineage(
-                spark.read.parquet(node_out).withColumn(
-                    "part_key", F.xxhash64("layer")
-                ),
-                "points",
-                "part_key",
-                snapshot,
-            )
-        )
+    res.counts["exported_nodes"] = _export_stage(
+        spark, points, node_out, "points", manifest, snapshot, with_lineage
+    )
 
     # --- images: cell index + PIP layer classification --------------------
     if images is not None:
@@ -112,20 +132,16 @@ def run(
             ("poly_id", "layer"),
         )
         img_out = os.path.join(out_dir, "images_classified")
-        write_partitioned(classified, img_out, ["layer"])
         res.outputs["images_classified"] = img_out
-        res.counts["classified_images"] = spark.read.parquet(img_out).count()
-        if with_lineage:
-            manifest.append(
-                partition_lineage(
-                    spark.read.parquet(img_out).withColumn(
-                        "part_key", F.xxhash64("layer")
-                    ),
-                    "images_classified",
-                    "part_key",
-                    snapshot,
-                )
-            )
+        res.counts["classified_images"] = _export_stage(
+            spark,
+            classified,
+            img_out,
+            "images_classified",
+            manifest,
+            snapshot,
+            with_lineage,
+        )
 
     # CRS sidecar (O16): constant table property, never reprojected
     with open(os.path.join(out_dir, "crs.txt"), "w") as f:

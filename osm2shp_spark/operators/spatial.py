@@ -338,17 +338,25 @@ def knn_join_broadcast(
     place dimension table stays small even at planet scale). Identical
     semantics and bit-identical distances to :func:`knn_join` (same
     IEEE arithmetic, same (dist2, id) tie-break): features are bucketed
-    by tile into a numpy broadcast; each points partition computes its
-    3x3-tile candidates, applies the provable-radius test, and falls
-    back to a full vectorized scan for the rare unprovable points — all
-    in one ``mapInPandas`` pass, no shuffle at all.
-    """
-    import math
+    by tile into a numpy broadcast; each points partition groups its
+    points by tile (all points in a tile share one candidate set),
+    computes the full tile-vs-candidates distance matrix in one NumPy
+    op, applies the provable-radius test per row, and falls back to a
+    batched full matrix scan for the rare unprovable points — all in
+    one ``mapInPandas`` pass, no shuffle, no per-row Python.
 
+    Tie-break vectorization: candidate columns are pre-sorted by
+    feature id once per tile, so a *stable* argsort on dist2 alone
+    reproduces the (dist2, id) lexicographic order row-wise in one
+    C-level call.
+    """
     feat_pdf = features.select(feature_id, "lon", "lat").toPandas()
-    fid = feat_pdf[feature_id].to_numpy()
-    flon = feat_pdf["lon"].to_numpy(np.float64)
-    flat = feat_pdf["lat"].to_numpy(np.float64)
+    # global feature order by id: with columns pre-sorted by id, a
+    # stable sort on dist2 == lexsort((id, dist2))
+    g_order = np.argsort(feat_pdf[feature_id].to_numpy(), kind="stable")
+    fid = feat_pdf[feature_id].to_numpy()[g_order]
+    flon = feat_pdf["lon"].to_numpy(np.float64)[g_order]
+    flat = feat_pdf["lat"].to_numpy(np.float64)[g_order]
     tx = np.floor(flon / tile_size).astype(np.int64)
     ty = np.floor(flat / tile_size).astype(np.int64)
     buckets: dict[tuple[int, int], np.ndarray] = {}
@@ -360,7 +368,9 @@ def knn_join_broadcast(
     bounds = np.append(starts, len(order))
     for i, s in enumerate(starts):
         key = (int(sorted_keys[s, 0]), int(sorted_keys[s, 1]))
-        buckets[key] = order[s : bounds[i + 1]]
+        # keep each bucket id-sorted (order[] picks ascending positions
+        # within a tile, and positions are already id-sorted globally)
+        buckets[key] = np.sort(order[s : bounds[i + 1]])
     bc = points.sparkSession.sparkContext.broadcast((buckets, fid, flon, flat))
     rho2 = (tile_size * COS_REF) ** 2
     ts = float(tile_size)
@@ -373,43 +383,84 @@ def knn_join_broadcast(
 
     def run(batches):
         buckets_, fid_, flon_, flat_ = bc.value
+        n_feat = len(fid_)
 
-        def topk_among(pidv, plon, plat, cand_idx):
-            dlon = plon - flon_[cand_idx]
-            dlat = plat - flat_[cand_idx]
+        def topk_matrix(plon: np.ndarray, plat: np.ndarray, cand: np.ndarray):
+            """(m,) points vs (n,) id-sorted candidate idx → per-row
+            top-min(k,n) candidate indices + dist2, (dist2, id)-ordered."""
+            dlon = plon[:, None] - flon_[cand][None, :]
+            dlat = plat[:, None] - flat_[cand][None, :]
             d2 = dlon * dlon * COS_REF2 + dlat * dlat
-            o = np.lexsort((fid_[cand_idx], d2))[:k]
-            return cand_idx[o], d2[o]
+            o = np.argsort(d2, axis=1, kind="stable")[:, : min(k, len(cand))]
+            return cand[o], np.take_along_axis(d2, o, axis=1)
+
+        def emit(pids_sel, top_i, top_d, rows_out):
+            m, kk = top_i.shape
+            rows_out.append(
+                pd.DataFrame(
+                    {
+                        point_id: np.repeat(pids_sel, kk),
+                        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), m),
+                        feature_id: fid_[top_i.ravel()],
+                        "dist2": top_d.ravel(),
+                    }
+                )
+            )
 
         for pdf in batches:
-            rows = []
+            if pdf.empty:
+                continue
             pids = pdf[point_id].to_numpy()
             plons = pdf["lon"].to_numpy(np.float64)
             plats = pdf["lat"].to_numpy(np.float64)
             ptx = np.floor(plons / ts).astype(np.int64)
             pty = np.floor(plats / ts).astype(np.int64)
-            all_idx = np.arange(len(fid_))
-            for i in range(len(pdf)):
-                cand = [
-                    buckets_.get((int(ptx[i]) + dx, int(pty[i]) + dy))
+            out_frames: list[pd.DataFrame] = []
+            unsolved_idx: list[np.ndarray] = []
+            # group points by tile — every point in a tile shares the
+            # identical 3x3 candidate set, so the distance matrix and
+            # top-k run once per tile, fully vectorized
+            _, inv = np.unique(
+                np.stack([ptx, pty], axis=1), axis=0, return_inverse=True
+            )
+            order_p = np.argsort(inv, kind="stable")
+            grp_starts = np.flatnonzero(
+                np.concatenate(([True], np.diff(inv[order_p]) != 0))
+            )
+            grp_bounds = np.append(grp_starts, len(order_p))
+            for gi, gs in enumerate(grp_starts):
+                sel = order_p[gs : grp_bounds[gi + 1]]
+                t_x, t_y = int(ptx[sel[0]]), int(pty[sel[0]])
+                cand_parts = [
+                    buckets_.get((t_x + dx, t_y + dy))
                     for dx in (-1, 0, 1)
                     for dy in (-1, 0, 1)
                 ]
-                cand = [c for c in cand if c is not None]
-                solved = False
-                if cand:
-                    idx = np.concatenate(cand)
-                    top_i, top_d = topk_among(pids[i], plons[i], plats[i], idx)
-                    if len(top_i) >= k and top_d[-1] <= rho2:
-                        solved = True
-                if not solved:
-                    top_i, top_d = topk_among(pids[i], plons[i], plats[i], all_idx)
-                for r, (j, d) in enumerate(zip(top_i, top_d), start=1):
-                    rows.append((pids[i], r, fid_[j], float(d)))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=[point_id, "rank", feature_id, "dist2"]
+                cand_parts = [c for c in cand_parts if c is not None]
+                if cand_parts:
+                    # concatenating id-sorted buckets needs one re-sort
+                    cand = np.sort(np.concatenate(cand_parts))
+                    top_i, top_d = topk_matrix(plons[sel], plats[sel], cand)
+                    if top_i.shape[1] >= k:
+                        # col -1 IS the kth distance (shape[1]==k here)
+                        solved = top_d[:, -1] <= rho2
+                    else:
+                        solved = np.zeros(len(sel), dtype=bool)
+                    if solved.any():
+                        emit(pids[sel[solved]], top_i[solved], top_d[solved], out_frames)
+                    if not solved.all():
+                        unsolved_idx.append(sel[~solved])
+                else:
+                    unsolved_idx.append(sel)
+            if unsolved_idx:
+                # batched exact fallback: one matrix vs ALL features
+                sel = np.concatenate(unsolved_idx)
+                top_i, top_d = topk_matrix(
+                    plons[sel], plats[sel], np.arange(n_feat)
                 )
+                emit(pids[sel], top_i, top_d, out_frames)
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
 
     return points.select(point_id, "lon", "lat").mapInPandas(run, schema=out_schema)
 
