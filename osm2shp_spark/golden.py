@@ -1,0 +1,200 @@
+"""Golden-fixture DuckDB oracles for the codec-bound queries.
+
+The driver's correctness gate compares each registered query against a
+DuckDB SQL string. For queries whose inputs are *binary payloads*
+(images/audio/video), the transformation itself is not SQL-expressible
+— but the fixture tables ARE deterministic, so the expected output can
+be materialized driver-side by the very same row kernels the operators
+run inside ``mapInPandas`` (single source of truth — see
+``operators.images.decode_stats_pdf`` etc.) and rendered as a literal
+``VALUES`` table.
+
+What such a golden oracle genuinely verifies: the *distributed*
+execution — Arrow serialization both ways, batch boundaries, row
+routing, schema mapping, partitioning — produces bit-for-bit the rows
+the reference local computation produces. What it does NOT verify is
+the kernel math itself; that is pytest territory
+(tests/test_images.py, test_multimodal.py decode/phash/PSNR gates per
+the BASELINE input_hint). The two mixed-mode oracles
+(``phash_dedup_oracle``, ``image_pip_oracle``) go further: only the
+*inputs* (phash / lon-lat) are injected as literals and DuckDB
+independently recomputes the join — brute-force all-pairs hamming vs
+the engine's banded join, interval algebra vs the engine's tiled
+ray-cast PIP.
+
+Scale-factor pinning: the driver value-checks oracles at sf=0.01 only
+(TESTDATA.md), so golden oracles are generated at that sf's fixture
+sizes. Float literals are ``repr``-rendered — the shortest
+round-tripping decimal — and both engines' parsers are correctly
+rounding, so values survive the text round-trip bit-exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+#: fixture sizes at the gate's scale factor (sf0.01 — TESTDATA.md)
+GATE_N_IMAGES = 400
+GATE_N_SMALL = 200
+GATE_N_VIDEOS = 20
+
+
+# ---------------------------------------------------------------------------
+# literal rendering
+# ---------------------------------------------------------------------------
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "e0"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"unsupported golden literal type {type(v)}")
+
+
+def values_sql(pdf: pd.DataFrame, casts: dict[str, str]) -> str:
+    """Render a pandas frame as ``SELECT ... FROM (VALUES ...)`` with
+    explicit column casts (VALUES type inference is engine-specific)."""
+    cols = list(pdf.columns)
+    rows = ",\n".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")"
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    sel = ", ".join(f"CAST({c} AS {casts[c]}) AS {c}" for c in cols)
+    return f"SELECT {sel} FROM (VALUES\n{rows}\n) AS t({', '.join(cols)})"
+
+
+# ---------------------------------------------------------------------------
+# shared fixture materialization (cached — several oracles reuse it)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _images_pdf(n: int) -> pd.DataFrame:
+    from osm2shp_spark.sources.fixtures import generate_images_pdf
+
+    return generate_images_pdf(n)
+
+
+# ---------------------------------------------------------------------------
+# golden oracles (full expected output as literals)
+# ---------------------------------------------------------------------------
+
+def decode_stats_oracle() -> str:
+    from osm2shp_spark.operators.images import decode_stats_pdf
+
+    out = decode_stats_pdf(_images_pdf(GATE_N_IMAGES))
+    return values_sql(
+        out,
+        {
+            "image_id": "VARCHAR", "fmt": "VARCHAR", "w": "INTEGER",
+            "h": "INTEGER", "decode_ok": "BOOLEAN",
+            "width_matches": "BOOLEAN", "phash_matches": "BOOLEAN",
+            "mean_px": "DOUBLE", "psnr": "DOUBLE",
+        },
+    )
+
+
+def image_features_oracle() -> str:
+    from osm2shp_spark.operators.images import extract_features_pdf
+
+    out = extract_features_pdf(_images_pdf(GATE_N_IMAGES))
+    flat = out[["image_id", "mean_r", "mean_g", "mean_b", "contrast", "edge_energy"]].copy()
+    for i in range(16):
+        flat[f"thumb_{i:02d}"] = out["thumb"].map(lambda t, i=i: t[i])
+    casts = {"image_id": "VARCHAR"}
+    casts.update({c: "DOUBLE" for c in flat.columns if c != "image_id"})
+    return values_sql(flat, casts)
+
+
+def image_resize_oracle(out_w: int = 16, out_h: int = 16) -> str:
+    from osm2shp_spark.operators.multimodal import resize_images_pdf
+
+    out = resize_images_pdf(_images_pdf(GATE_N_SMALL), out_w, out_h)
+    out["bytes_md5"] = out["bytes"].map(lambda b: hashlib.md5(b).hexdigest())
+    out = out[["image_id", "out_w", "out_h", "fmt", "bytes_md5"]]
+    return values_sql(
+        out,
+        {
+            "image_id": "VARCHAR", "out_w": "INTEGER", "out_h": "INTEGER",
+            "fmt": "VARCHAR", "bytes_md5": "VARCHAR",
+        },
+    )
+
+
+def audio_features_oracle() -> str:
+    from osm2shp_spark.operators.multimodal import audio_features_pdf
+    from osm2shp_spark.sources.fixtures import generate_audio_pdf
+
+    out = audio_features_pdf(generate_audio_pdf(GATE_N_SMALL))
+    return values_sql(
+        out,
+        {
+            "audio_id": "VARCHAR", "duration_s": "DOUBLE", "rms": "DOUBLE",
+            "zero_crossings": "BIGINT", "peak": "DOUBLE",
+        },
+    )
+
+
+def video_frame_sample_oracle(every_nth: int = 2) -> str:
+    from osm2shp_spark.operators.multimodal import sample_video_frames_pdf
+    from osm2shp_spark.sources.fixtures import generate_videos_pdf
+
+    out = sample_video_frames_pdf(generate_videos_pdf(GATE_N_VIDEOS), every_nth)
+    return values_sql(
+        out,
+        {
+            "video_id": "VARCHAR", "frame_idx": "INTEGER", "w": "INTEGER",
+            "h": "INTEGER", "mean_px": "DOUBLE", "phash": "BIGINT",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixed-mode oracles: literal INPUTS + independent SQL recomputation
+# ---------------------------------------------------------------------------
+
+def phash_dedup_oracle(max_hamming: int = 6) -> str:
+    """Brute-force all-pairs hamming in DuckDB over the injected phash
+    column — independently re-derives the pair set the engine's banded
+    join must find (the pigeonhole banding guarantees 100% recall at
+    ``<= max_hamming``, so banded == brute force exactly)."""
+    ph = _images_pdf(GATE_N_IMAGES)[["image_id", "phash"]]
+    vals = values_sql(ph, {"image_id": "VARCHAR", "phash": "BIGINT"})
+    return f"""
+WITH ph AS ({vals})
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
+def image_pip_oracle(rects_sql: str) -> str:
+    """Interval-algebra PIP truth in DuckDB over injected point
+    coordinates — independently re-derives the containment set the
+    engine's tiled candidate join + rect fast path must produce
+    (strict interior, matching the engine's documented boundary
+    convention; fixture coords never touch rect bounds by design)."""
+    pts = _images_pdf(GATE_N_IMAGES)[["image_id", "caption", "lon", "lat"]]
+    vals = values_sql(
+        pts,
+        {"image_id": "VARCHAR", "caption": "VARCHAR", "lon": "DOUBLE", "lat": "DOUBLE"},
+    )
+    return f"""
+WITH pts AS ({vals}),
+rects AS ({rects_sql})
+SELECT p.image_id, p.caption, r.rect_id, r.layer
+FROM pts p JOIN rects r
+  ON p.lon > r.lon_min AND p.lon < r.lon_max
+ AND p.lat > r.lat_min AND p.lat < r.lat_max
+"""

@@ -28,6 +28,48 @@ DECODE_STATS_SCHEMA = (
 )
 
 
+def decode_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Row kernel of :func:`decode_stats` (one Arrow batch in, one
+    frame out) — also the golden-oracle generator's single source of
+    truth (``osm2shp_spark.golden``)."""
+    out = []
+    for r in pdf.itertuples(index=False):
+        try:
+            arr = I.decode_image(r.bytes, r.fmt)
+            if r.fmt in I.LOSSLESS_FMTS:
+                # round-trip PSNR is identically infinite for a
+                # lossless codec — skip the re-encode (halves
+                # the codec cost of the biggest map stage)
+                p = float("inf")
+            else:
+                rt = I.decode_image(I.encode_image(arr, r.fmt), r.fmt)
+                p = I.psnr(arr, rt)
+            out.append(
+                (
+                    r.image_id,
+                    r.fmt,
+                    r.w,
+                    r.h,
+                    True,
+                    arr.shape[1] == r.w and arr.shape[0] == r.h,
+                    I.average_phash(arr) == r.phash,
+                    float(arr.mean()),
+                    1e9 if p == float("inf") else p,
+                )
+            )
+        except Exception:
+            out.append(
+                (r.image_id, r.fmt, r.w, r.h, False, False, False, 0.0, 0.0)
+            )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "image_id", "fmt", "w", "h", "decode_ok",
+            "width_matches", "phash_matches", "mean_px", "psnr",
+        ],
+    )
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image and verify the per-row invariants
     (input_hint): decoded size matches metadata, recomputed phash
@@ -37,42 +79,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    arr = I.decode_image(r.bytes, r.fmt)
-                    if r.fmt in I.LOSSLESS_FMTS:
-                        # round-trip PSNR is identically infinite for a
-                        # lossless codec — skip the re-encode (halves
-                        # the codec cost of the biggest map stage)
-                        p = float("inf")
-                    else:
-                        rt = I.decode_image(I.encode_image(arr, r.fmt), r.fmt)
-                        p = I.psnr(arr, rt)
-                    out.append(
-                        (
-                            r.image_id,
-                            r.fmt,
-                            r.w,
-                            r.h,
-                            True,
-                            arr.shape[1] == r.w and arr.shape[0] == r.h,
-                            I.average_phash(arr) == r.phash,
-                            float(arr.mean()),
-                            1e9 if p == float("inf") else p,
-                        )
-                    )
-                except Exception:
-                    out.append(
-                        (r.image_id, r.fmt, r.w, r.h, False, False, False, 0.0, 0.0)
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "image_id", "fmt", "w", "h", "decode_ok",
-                    "width_matches", "phash_matches", "mean_px", "psnr",
-                ],
-            )
+            yield decode_stats_pdf(pdf)
 
     return images.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
@@ -83,6 +90,36 @@ FEATURES_SCHEMA = (
 )
 
 
+def extract_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Row kernel of :func:`extract_features` — shared with the
+    golden-oracle generator."""
+    out = []
+    for r in pdf.itertuples(index=False):
+        arr = I.decode_image(r.bytes, r.fmt).astype(np.float64)
+        gray = arr.mean(axis=2)
+        gx = np.abs(np.diff(gray, axis=1)).mean()
+        gy = np.abs(np.diff(gray, axis=0)).mean()
+        thumb = I._block_mean_resize(gray, 4, 4).ravel() / 255.0
+        out.append(
+            (
+                r.image_id,
+                float(arr[:, :, 0].mean()),
+                float(arr[:, :, 1].mean()),
+                float(arr[:, :, 2].mean()),
+                float(gray.std()),
+                float(gx + gy),
+                thumb.tolist(),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "image_id", "mean_r", "mean_g", "mean_b",
+            "contrast", "edge_energy", "thumb",
+        ],
+    )
+
+
 def extract_features(images: DataFrame) -> DataFrame:
     """Cheap visual features per image: channel means, contrast (std),
     gradient energy, 4x4 block-mean thumbnail (the embedding stand-in
@@ -90,31 +127,7 @@ def extract_features(images: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                arr = I.decode_image(r.bytes, r.fmt).astype(np.float64)
-                gray = arr.mean(axis=2)
-                gx = np.abs(np.diff(gray, axis=1)).mean()
-                gy = np.abs(np.diff(gray, axis=0)).mean()
-                thumb = I._block_mean_resize(gray, 4, 4).ravel() / 255.0
-                out.append(
-                    (
-                        r.image_id,
-                        float(arr[:, :, 0].mean()),
-                        float(arr[:, :, 1].mean()),
-                        float(arr[:, :, 2].mean()),
-                        float(gray.std()),
-                        float(gx + gy),
-                        thumb.tolist(),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "image_id", "mean_r", "mean_g", "mean_b",
-                    "contrast", "edge_energy", "thumb",
-                ],
-            )
+            yield extract_features_pdf(pdf)
 
     return images.mapInPandas(run, schema=FEATURES_SCHEMA)
 

@@ -64,28 +64,36 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def audio_features_pdf(
+    pdf: pd.DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes"
+) -> pd.DataFrame:
+    """Row kernel of :func:`audio_features` — shared with the
+    golden-oracle generator (``osm2shp_spark.golden``)."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        s, rate = decode_wav(getattr(r, bytes_col))
+        zc = int(np.count_nonzero(np.diff(np.signbit(s))))
+        rows.append(
+            (
+                getattr(r, id_col),
+                len(s) / rate,
+                float(np.sqrt(np.mean(s * s))) if len(s) else 0.0,
+                zc,
+                float(np.abs(s).max()) if len(s) else 0.0,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["audio_id", "duration_s", "rms", "zero_crossings", "peak"],
+    )
+
+
 def audio_features(audio: DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes") -> DataFrame:
     """Decode WAV bytes → per-clip features. Map-only pass."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                s, rate = decode_wav(getattr(r, bytes_col))
-                zc = int(np.count_nonzero(np.diff(np.signbit(s))))
-                rows.append(
-                    (
-                        getattr(r, id_col),
-                        len(s) / rate,
-                        float(np.sqrt(np.mean(s * s))) if len(s) else 0.0,
-                        zc,
-                        float(np.abs(s).max()) if len(s) else 0.0,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["audio_id", "duration_s", "rms", "zero_crossings", "peak"],
-            )
+            yield audio_features_pdf(pdf, id_col, bytes_col)
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -106,22 +114,30 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = I.decode_image(r.bytes, r.fmt)
-                out = np.stack(
-                    [
-                        I._block_mean_resize(arr[:, :, c].astype(np.float64), out_h, out_w)
-                        for c in range(3)
-                    ],
-                    axis=2,
-                ).round().clip(0, 255).astype(np.uint8)
-                rows.append((r.image_id, out_w, out_h, I.encode_image(out, fmt), fmt))
-            yield pd.DataFrame(
-                rows, columns=["image_id", "out_w", "out_h", "bytes", "fmt"]
-            )
+            yield resize_images_pdf(pdf, out_w, out_h, fmt)
 
     return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def resize_images_pdf(
+    pdf: pd.DataFrame, out_w: int, out_h: int, fmt: str = "ppm"
+) -> pd.DataFrame:
+    """Row kernel of :func:`resize_images` — shared with the
+    golden-oracle generator."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        arr = I.decode_image(r.bytes, r.fmt)
+        out = np.stack(
+            [
+                I._block_mean_resize(arr[:, :, c].astype(np.float64), out_h, out_w)
+                for c in range(3)
+            ],
+            axis=2,
+        ).round().clip(0, 255).astype(np.uint8)
+        rows.append((r.image_id, out_w, out_h, I.encode_image(out, fmt), fmt))
+    return pd.DataFrame(
+        rows, columns=["image_id", "out_w", "out_h", "bytes", "fmt"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -175,25 +191,34 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                frames = decode_video_frames(
-                    getattr(r, bytes_col), getattr(r, fmt_col), every_nth
-                )
-                for fi, f in enumerate(frames):
-                    rows.append(
-                        (
-                            getattr(r, id_col),
-                            fi * every_nth,
-                            f.shape[1],
-                            f.shape[0],
-                            float(f.mean()),
-                            I.average_phash(f),
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["video_id", "frame_idx", "w", "h", "mean_px", "phash"],
-            )
+            yield sample_video_frames_pdf(pdf, every_nth, id_col, bytes_col, fmt_col)
 
     return videos.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def sample_video_frames_pdf(
+    pdf: pd.DataFrame, every_nth: int = 2, id_col: str = "video_id",
+    bytes_col: str = "bytes", fmt_col: str = "fmt",
+) -> pd.DataFrame:
+    """Row kernel of :func:`sample_video_frames` — shared with the
+    golden-oracle generator."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        frames = decode_video_frames(
+            getattr(r, bytes_col), getattr(r, fmt_col), every_nth
+        )
+        for fi, f in enumerate(frames):
+            rows.append(
+                (
+                    getattr(r, id_col),
+                    fi * every_nth,
+                    f.shape[1],
+                    f.shape[0],
+                    float(f.mean()),
+                    I.average_phash(f),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["video_id", "frame_idx", "w", "h", "mean_px", "phash"],
+    )

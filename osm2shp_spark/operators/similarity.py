@@ -288,6 +288,128 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_ivf_flat(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a *deterministic* coarse quantizer: the
+    ``n_cells`` corpus vectors with the smallest ids seed the cells
+    (production swaps in :func:`train_centroids`' k-means centroids —
+    the mechanics below are identical either way). Everything is pure
+    Catalyst: cell assignment is a broadcast nested-loop of rows ×
+    n_cells with the shared sequential fold (``cosine_sim_col``), so
+    the whole pipeline — assignment, nprobe probing, candidate join,
+    exact re-rank, tie-break — is bit-identical to the DuckDB twin
+    (:func:`cosine_topk_ivf_oracle`) and value-checked in the driver
+    gate. No Python anywhere.
+
+    Scale: assignment costs n_cells broadcast comparisons per row
+    (the standard IVF indexing bill); the corpus is then equi-joined
+    on its single cell — in production it is *written* partitioned by
+    cell, so probing reads only nprobe/n_cells of the data.
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cvec0"))
+    )
+    w_assign = Window.partitionBy("_xid").orderBy(
+        F.col("_csim").desc(), F.col("_cent_id").asc()
+    )
+
+    def assign(df: DataFrame, n_take: int) -> DataFrame:
+        x = df.select(F.col(id_col).alias("_xid"), F.col(vec_col).alias("_xvec"))
+        return (
+            x.crossJoin(F.broadcast(cent))
+            .select(
+                "_xid",
+                "_xvec",
+                "_cent_id",
+                cosine_sim_col("_xvec", "_cvec0").alias("_csim"),
+            )
+            .withColumn("_crank", F.row_number().over(w_assign))
+            .filter(F.col("_crank") <= n_take)
+            .select("_xid", "_xvec", F.col("_cent_id").alias("_cell"))
+        )
+
+    c = assign(corpus, 1).select(
+        F.col("_xid").alias("neighbor_id"), F.col("_xvec").alias("_cvec"), "_cell"
+    )
+    p = assign(probes, nprobe).select(
+        F.col("_xid").alias("probe_id"), F.col("_xvec").alias("_pvec"), "_cell"
+    )
+    sim = cosine_sim_col("_pvec", "_cvec")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(p), "_cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk_ivf_oracle(
+    corpus_sql: str, probes_sql: str, k: int, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_ivf_flat` (deterministic
+    centroid seeding, fold-identical cosine, same tie-breaks)."""
+    return f"""
+WITH c AS ({corpus_sql}),
+p AS ({probes_sql}),
+cent AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM c ORDER BY vec_id LIMIT {n_cells}
+),
+ca AS (
+    SELECT c.vec_id AS neighbor_id, c.embedding, cent.cent_id AS _cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {duck_cosine('c.embedding', 'cent.cvec')} DESC, cent.cent_id
+           ) AS rn
+    FROM c CROSS JOIN cent
+),
+cc AS (SELECT neighbor_id, _cell FROM ca WHERE rn = 1),
+pa AS (
+    SELECT p.vec_id AS probe_id, cent.cent_id AS _cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {duck_cosine('p.embedding', 'cent.cvec')} DESC, cent.cent_id
+           ) AS rn
+    FROM p CROSS JOIN cent
+),
+pc AS (SELECT probe_id, _cell FROM pa WHERE rn <= {nprobe}),
+cand AS (
+    SELECT pc.probe_id, cc.neighbor_id
+    FROM pc JOIN cc USING (_cell)
+    WHERE pc.probe_id <> cc.neighbor_id
+),
+scored AS (
+    SELECT cand.probe_id, cand.neighbor_id,
+           {duck_cosine('pe.embedding', 'ce.embedding')} AS cosine
+    FROM cand
+    JOIN c ce ON ce.vec_id = cand.neighbor_id
+    JOIN p pe ON pe.vec_id = cand.probe_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank"
+    FROM scored
+)
+SELECT probe_id, "rank", neighbor_id, cosine FROM r WHERE "rank" <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding near-duplicate pairs
 # ---------------------------------------------------------------------------

@@ -44,11 +44,13 @@ from osm2shp_spark.sources.synthetic import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: name -> (spark callable, duckdb oracle SQL or None for rows-only)
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+#: name -> (spark callable, duckdb oracle: SQL string, a zero-arg
+#: callable returning SQL (lazy — golden-fixture oracles materialize
+#: expected rows at call time, not at import), or None for rows-only)
+REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | Callable[[], str] | None):
     def deco(fn: QueryFn) -> QueryFn:
         REGISTRY[name] = (fn, oracle)
         return fn
@@ -534,21 +536,42 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, probes, k=5, dim=64)
 
 
-@register("ann_cosine_ivf", None)
+_IVF_CORPUS_SQL = "SELECT vec_id, embedding FROM embeddings"
+_IVF_PROBES_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"
+
+
+def _ivf_oracle() -> str:
+    from osm2shp_spark.operators.similarity import cosine_topk_ivf_oracle
+
+    return cosine_topk_ivf_oracle(
+        _IVF_CORPUS_SQL, _IVF_PROBES_SQL, k=5, n_cells=16, nprobe=4
+    )
+
+
+@register("ann_cosine_ivf", _ivf_oracle)
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2shp_spark.operators.similarity import cosine_topk_ivf
+    """IVF top-k, deterministic-quantizer variant — the full pipeline
+    (cell assignment, nprobe probing, exact re-rank) is pure Catalyst
+    and value-checked against the DuckDB twin. The k-means-trained
+    quantizer (``cosine_topk_ivf``) shares all mechanics and is
+    recall-gated in tests/test_ivf.py."""
+    from osm2shp_spark.operators.similarity import cosine_topk_ivf_flat
 
     register_driver_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     probes = emb.filter("vec_id % 50 = 0")
-    return cosine_topk_ivf(emb, probes, k=5, dim=64, n_cells=16, nprobe=4)
+    return cosine_topk_ivf_flat(emb, probes, k=5, n_cells=16, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
-# Image pipeline (axis B; binary payloads → rows-only checks, the
-# pixel-level invariants are pytest-gated per input_hint)
+# Image pipeline (axis B). Binary payloads aren't SQL-expressible, so
+# these gate queries carry golden-fixture oracles (osm2shp_spark.golden:
+# the same row kernels materialize the expected rows driver-side as
+# VALUES literals — verifying the distributed execution bit-for-bit)
+# or mixed-mode oracles (inputs injected, join recomputed in real SQL).
 # ---------------------------------------------------------------------------
 
+from osm2shp_spark import golden  # noqa: E402
 from osm2shp_spark.operators.images import (  # noqa: E402
     decode_stats,
     extract_features,
@@ -557,14 +580,14 @@ from osm2shp_spark.operators.images import (  # noqa: E402
 from osm2shp_spark.sources.fixtures import image_table, images_count_for_sf  # noqa: E402
 
 
-@register("image_decode_stats", None)
+@register("image_decode_stats", golden.decode_stats_oracle)
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-verify pass over the deterministic image fixture table:
     every row must decode, match metadata, and reproduce its phash."""
     return decode_stats(image_table(spark, images_count_for_sf(sf_dir)))
 
 
-@register("image_features", None)
+@register("image_features", golden.image_features_oracle)
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual features; the 4x4 thumbnail rides flattened to 16 scalar
     columns (the driver canonicalizer cannot hash ARRAY cells)."""
@@ -583,68 +606,56 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_phash_dedup", None)
+@register("image_phash_dedup", golden.phash_dedup_oracle)
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded phash near-dup join, value-checked against a DuckDB
+    brute-force all-pairs hamming recomputation (the banding recall
+    guarantee makes banded == brute force at <= max_hamming)."""
     return phash_near_dups(image_table(spark, images_count_for_sf(sf_dir)), max_hamming=6)
 
 
-@register("image_resize", None)
+@register("image_resize", golden.image_resize_oracle)
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed resize; the gate projects md5(bytes) so the payload
+    is value-checked without shipping binaries through the
+    canonicalizer (pixel math itself is pytest-gated)."""
     from osm2shp_spark.operators.multimodal import resize_images
 
-    return resize_images(
+    resized = resize_images(
         image_table(spark, min(images_count_for_sf(sf_dir), 200)), 16, 16
+    )
+    return resized.select(
+        "image_id", "out_w", "out_h", "fmt", F.md5("bytes").alias("bytes_md5")
     )
 
 
-@register("audio_features", None)
+@register("audio_features", golden.audio_features_oracle)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV/PCM16 decode (stdlib, real) → per-clip features over a
     deterministic synthesized audio table."""
-    import numpy as np
-    import pandas as pd
-
-    from osm2shp_spark.operators.multimodal import audio_features, encode_wav
+    from osm2shp_spark.operators.multimodal import audio_features
+    from osm2shp_spark.sources.fixtures import generate_audio_pdf
 
     n = min(images_count_for_sf(sf_dir), 200)
-    rows = []
-    for i in range(n):
-        rng = np.random.default_rng(500 + i)
-        t = np.arange(1600 + 80 * (i % 20)) / 16000.0
-        s = 0.5 * np.sin(2 * np.pi * (200 + 5 * i) * t) + 0.05 * rng.standard_normal(
-            len(t)
-        )
-        rows.append({"audio_id": f"a-{i:05d}", "bytes": encode_wav(s)})
-    df = spark.createDataFrame(pd.DataFrame(rows), "audio_id STRING, bytes BINARY")
+    df = spark.createDataFrame(
+        generate_audio_pdf(n), "audio_id STRING, bytes BINARY"
+    )
     return audio_features(df)
 
 
-@register("video_frame_sample", None)
+@register("video_frame_sample", golden.video_frame_sample_oracle)
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level fan-out over the deterministic rawgrid fixture codec
     (real codecs gated behind NotImplementedError — no video lib
-    in-container; the Spark plumbing is fully real)."""
-    import pandas as pd
+    in-container; the Spark plumbing is fully real). Fixture-constant
+    count: the fan-out is exercised at a fixed size at every sf, which
+    keeps both this golden oracle and the closed-form fan-out twin
+    valid at any scale factor."""
+    from osm2shp_spark.operators.multimodal import sample_video_frames
+    from osm2shp_spark.sources.fixtures import generate_videos_pdf
 
-    from osm2shp_spark.operators.multimodal import (
-        encode_rawgrid_video,
-        sample_video_frames,
-    )
-    from osm2shp_spark.sources.fixtures import make_image
-
-    # fixture-constant count: the rawgrid codec is a deterministic
-    # stand-in (real video libs absent in-container), so the fan-out
-    # plumbing is exercised at a fixed size at every sf — which also
-    # makes the fan-out oracle closed-form at any scale factor
-    n = 20
-    rows = []
-    for i in range(n):
-        frames = [make_image(i * 16 + j) for j in range(4 + i % 4)]
-        rows.append(
-            {"video_id": f"v-{i:05d}", "bytes": encode_rawgrid_video(frames), "fmt": "rawgrid"}
-        )
     df = spark.createDataFrame(
-        pd.DataFrame(rows), "video_id STRING, bytes BINARY, fmt STRING"
+        generate_videos_pdf(20), "video_id STRING, bytes BINARY, fmt STRING"
     )
     return sample_video_frames(df, every_nth=2)
 
@@ -674,10 +685,12 @@ def q_video_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_video_frame_sample(spark, sf_dir).select("video_id", "frame_idx")
 
 
-@register("image_pip_classify", None)
+@register("image_pip_classify", lambda: golden.image_pip_oracle(RECTS_SQL))
 def q_image_pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star loop: georeferenced binary images classified by
-    layer via the general PIP join against the rect polygon features."""
+    layer via the general PIP join against the rect polygon features.
+    Value-checked: the oracle injects the fixture coordinates and
+    recomputes containment with independent interval algebra."""
     imgs = image_table(spark, images_count_for_sf(sf_dir)).select(
         "image_id", "caption", "lon", "lat"
     )
@@ -1023,4 +1036,8 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in REGISTRY.items()
+        if sql is not None
+    }

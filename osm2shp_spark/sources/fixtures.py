@@ -93,3 +93,38 @@ def images_count_for_sf(sf_dir: str) -> int:
     if "0.01" in sf_dir:
         return 400
     return 1200
+
+
+def generate_audio_pdf(n: int) -> pd.DataFrame:
+    """Deterministic synthesized WAV/PCM16 clip table (sine + seeded
+    noise) — shared by the gate query and its golden oracle."""
+    from osm2shp_spark.operators.multimodal import encode_wav
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(500 + i)
+        t = np.arange(1600 + 80 * (i % 20)) / 16000.0
+        s = 0.5 * np.sin(
+            2 * np.pi * (200 + 5 * i) * t
+        ) + 0.05 * rng.standard_normal(len(t))
+        rows.append({"audio_id": f"a-{i:05d}", "bytes": encode_wav(s)})
+    return pd.DataFrame(rows)
+
+
+def generate_videos_pdf(n: int = 20) -> pd.DataFrame:
+    """Deterministic rawgrid-codec video table (video i has 4 + i%4
+    frames of seeded gradient images) — shared by the gate query and
+    its golden oracle."""
+    from osm2shp_spark.operators.multimodal import encode_rawgrid_video
+
+    rows = []
+    for i in range(n):
+        frames = [make_image(i * 16 + j) for j in range(4 + i % 4)]
+        rows.append(
+            {
+                "video_id": f"v-{i:05d}",
+                "bytes": encode_rawgrid_video(frames),
+                "fmt": "rawgrid",
+            }
+        )
+    return pd.DataFrame(rows)

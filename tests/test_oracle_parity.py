@@ -1,14 +1,26 @@
 """Driver-gate rehearsal: every REGISTRY query vs its DuckDB oracle,
-exact values, at sf0.001 (fast) — the driver runs the same at sf0.01."""
+exact values, at sf0.001 (fast) — except the golden-fixture oracles,
+which are pinned to the gate's sf0.01 fixture sizes (see
+``osm2shp_spark.golden``) and rehearse there like the driver does."""
 
 from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMALL
+from conftest import SF_MED, SF_SMALL
 from parity import assert_parity
 
 from osm2shp_spark import queries as Q
+
+#: queries whose oracle embeds sf0.01-sized golden fixtures
+_SF_PINNED = {
+    "image_decode_stats",
+    "image_features",
+    "image_phash_dedup",
+    "image_resize",
+    "audio_features",
+    "image_pip_classify",
+}
 
 
 def _names():
@@ -16,9 +28,12 @@ def _names():
 
 
 @pytest.mark.parametrize("name", _names())
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, duck, duck_med, name):
     fn, sql = Q.REGISTRY[name]
-    assert_parity(fn(spark, SF_SMALL), duck.execute(sql).df(), name)
+    if callable(sql):
+        sql = sql()
+    sf, con = (SF_MED, duck_med) if name in _SF_PINNED else (SF_SMALL, duck)
+    assert_parity(fn(spark, sf), con.execute(sql).df(), name)
 
 
 def test_entry_smoke(spark):
