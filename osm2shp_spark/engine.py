@@ -24,8 +24,9 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from osm2shp_spark.functions.udfs import with_geometry_meta, with_point_cells
-from osm2shp_spark.operators.assemble import assemble_ways
+from osm2shp_spark.operators.assemble import assemble_ways_auto
 from osm2shp_spark.operators.classify import classify_nodes
+from osm2shp_spark.operators.skew import adaptive_cells
 from osm2shp_spark.operators.spatial import pip_join
 from osm2shp_spark.plans.manifest import Manifest, partition_lineage
 from osm2shp_spark.sources.tables import write_partitioned
@@ -88,6 +89,7 @@ def run(
     s2_level: int = 12,
     hex_resolutions: tuple[int, ...] = (7, 8, 9, 10, 11, 12),
     with_lineage: bool = True,
+    adaptive_hot_threshold: int = 1000,
 ) -> RunResult:
     """Run the full pipeline; returns per-output counts.
 
@@ -100,7 +102,9 @@ def run(
     manifest = Manifest(spark, os.path.join(out_dir, "_manifest"))
 
     # --- ways: assemble + geometry meta + cells --------------------------
-    assembled = with_geometry_meta(assemble_ways(nodes, ways))
+    # strategy auto-selected by size stats (mapside broadcast / salted
+    # mega-way / general Catalyst) — operators/assemble.py
+    assembled = with_geometry_meta(assemble_ways_auto(nodes, ways))
     way_out = os.path.join(out_dir, "ways")
     res.outputs["ways"] = way_out
     res.counts["exported_ways"] = _export_stage(
@@ -121,6 +125,14 @@ def run(
     if images is not None:
         indexed = with_point_cells(
             images, s2_level=s2_level, hex_resolutions=hex_resolutions
+        )
+        # north-rule adaptive cell splitting in the hot path: dense
+        # cells re-index at finer resolution before the written index
+        # feeds downstream rollups/joins (operators/skew.py)
+        indexed = adaptive_cells(
+            indexed,
+            base_res=hex_resolutions[2] if len(hex_resolutions) > 2 else hex_resolutions[-1],
+            hot_threshold=adaptive_hot_threshold,
         )
         polys = assembled.filter(F.col("kind") == "polygon").select(
             F.col("way_id").alias("poly_id"), "layer", "lons", "lats"

@@ -149,6 +149,48 @@ def assemble_ways_mapside(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     return classified.mapInPandas(assemble, schema=ASSEMBLED_SCHEMA)
 
 
+#: strategy thresholds (see assemble_ways_auto)
+NODE_BROADCAST_LIMIT = 50_000_000  # ~1.2 GB of (id,lon,lat) numpy
+MEGA_WAY_THRESHOLD = 50_000  # refs per way before the salted path
+
+
+def assemble_ways_auto(
+    nodes: DataFrame,
+    ways: DataFrame,
+    node_broadcast_limit: int = NODE_BROADCAST_LIMIT,
+    mega_threshold: int = MEGA_WAY_THRESHOLD,
+    return_strategy: bool = False,
+) -> DataFrame:
+    """Strategy selector for the flagship join — the size-estimate
+    promise of the module docstring, wired into the hot path:
+
+    - staged nodes fit the broadcast budget → ``assemble_ways_mapside``
+      (zero shuffle);
+    - any mega-way above ``mega_threshold`` refs → salted two-stage
+      assembly (bounded reducer keys, skew-proof);
+    - otherwise → the pure-Catalyst general path.
+
+    The two statistics cost one metadata-backed ``count`` on the node
+    table and one column-pruned ``max(size(refs))`` scan of the ways
+    ref column (in production both come from table-level stats — e.g.
+    Iceberg ``record_count`` and a maintained NDV/max column stat — so
+    the pre-pass is free; here it is two cheap jobs, amortized over
+    the much larger assembly).
+    """
+    n_nodes = nodes.count()
+    if n_nodes <= node_broadcast_limit:
+        choice, out = "mapside", assemble_ways_mapside(nodes, ways)
+    else:
+        max_refs = ways.agg(F.max(F.size("refs"))).collect()[0][0] or 0
+        if max_refs >= mega_threshold:
+            from osm2shp_spark.operators.skew import assemble_ways_salted
+
+            choice, out = "salted", assemble_ways_salted(nodes, ways)
+        else:
+            choice, out = "general", assemble_ways(nodes, ways)
+    return (out, choice) if return_strategy else out
+
+
 def assembly_counters(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     """O17 observability counters as one aggregate row (handler.cc:59-61,
     84-85,108-109 — upgraded from stderr prints to a queryable result).

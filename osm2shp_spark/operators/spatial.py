@@ -76,13 +76,18 @@ def with_tiles(
 # N3: point-in-polygon join
 # ---------------------------------------------------------------------------
 
+#: broadcast budget for polygon rings (vertices ≈ 16 B each → ~160 MB)
+MAX_BROADCAST_VERTICES = 10_000_000
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
     point_cols: tuple[str, ...],
     poly_cols: tuple[str, ...],
     tile_size: float = TILE_SIZE,
-    broadcast_rings: bool = True,
+    broadcast_rings: bool | None = None,
+    max_broadcast_vertices: int = MAX_BROADCAST_VERTICES,
 ) -> DataFrame:
     """Inner spatial join: rows of ``points`` inside rows of ``polygons``.
 
@@ -95,13 +100,24 @@ def pip_join(
     compute their tile, equi-join on tile, bbox pre-cut, then exact
     vectorized ray-cast refine in one ``mapInPandas`` pass.
 
-    ``broadcast_rings`` (default): the ring coordinate arrays travel to
-    the refine workers as ONE numpy broadcast keyed by polygon id, and
-    the join rows carry only scalars — measured ~2x on the refine stage
-    (per-row array columns decode to millions of python lists
-    otherwise). Set False when the polygon set is too large to
-    broadcast (> ~10^7 vertices); the rings then ride the join rows.
+    ``broadcast_rings=None`` (default) auto-selects by a size
+    estimate: one column-pruned ``(count, sum(size(lons)))`` aggregate
+    over the polygon side (the dimension side by construction; in
+    production the two numbers come from table stats, making the
+    pre-pass free). Under ``max_broadcast_vertices`` total ring
+    vertices, the ring coordinate arrays travel to the refine workers
+    as ONE numpy broadcast keyed by polygon id and the join rows carry
+    only scalars — measured ~2x on the refine stage (per-row array
+    columns decode to millions of python lists otherwise). Above the
+    budget the rings ride the join rows (no driver collect, no
+    broadcast OOM at 100x polygon scale). Pass True/False to pin a
+    path explicitly.
     """
+    if broadcast_rings is None:
+        est = polygons.agg(
+            F.sum(F.size("lons")).alias("verts")
+        ).collect()[0]
+        broadcast_rings = int(est["verts"] or 0) <= max_broadcast_vertices
     pts = with_tiles(points, tile_size=tile_size).select(
         *point_cols,
         F.col("lon").alias("_px"),
@@ -463,6 +479,39 @@ def knn_join_broadcast(
                 yield pd.concat(out_frames, ignore_index=True)
 
     return points.select(point_id, "lon", "lat").mapInPandas(run, schema=out_schema)
+
+
+#: broadcast budget for the feature side of kNN (rows ≈ 24 B each)
+MAX_BROADCAST_FEATURES = 10_000_000
+
+
+def knn_join_auto(
+    points: DataFrame,
+    features: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    feature_id: str = "node_id",
+    tile_size: float = TILE_SIZE,
+    max_broadcast_features: int = MAX_BROADCAST_FEATURES,
+    return_strategy: bool = False,
+) -> DataFrame:
+    """Strategy selector for kNN: the zero-shuffle broadcast path when
+    the feature table fits the broadcast budget (named-place dimension
+    tables stay small even at planet scale), else the shuffle path
+    (tile equi-join + provable-radius exactness + AQE skew splitting).
+    Both paths are bit-identical (same IEEE distance, same tie-break);
+    the count pre-pass is metadata-backed on parquet/Iceberg.
+    """
+    n = features.count()
+    if n <= max_broadcast_features:
+        choice, out = "broadcast", knn_join_broadcast(
+            points, features, k, point_id, feature_id, tile_size
+        )
+    else:
+        choice, out = "shuffle", knn_join(
+            points, features, k, point_id, feature_id, tile_size
+        )
+    return (out, choice) if return_strategy else out
 
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,59 @@ def test_way_assembly_min_vertex_filter_before_join(spark):
     p = _plan(df)
     assert "Generate" in p  # the posexplode is present
     assert "CASE WHEN" in p  # layer/kind classification stayed in plan
+
+
+def test_auto_strategy_selection(spark):
+    """The size-estimate auto-selectors must pick the documented paths
+    and stay result-equivalent to the pinned paths."""
+    from parity import canon_rows
+
+    from osm2shp_spark.operators.assemble import assemble_ways_auto
+    from osm2shp_spark.operators.spatial import knn_join_auto
+
+    nodes = synthetic_nodes(spark, SF_SMALL)
+    ways = synthetic_ways(spark, SF_SMALL)
+    # small node table -> mapside broadcast path
+    df, strategy = assemble_ways_auto(nodes, ways, return_strategy=True)
+    assert strategy == "mapside"
+    assert canon_rows(df.toPandas()) == canon_rows(
+        assemble_ways(nodes, ways).toPandas()
+    )
+    # forcing a tiny broadcast budget + low mega threshold -> salted
+    _, strategy = assemble_ways_auto(
+        nodes, ways, node_broadcast_limit=1, mega_threshold=2,
+        return_strategy=True,
+    )
+    assert strategy == "salted"
+    # small feature table -> zero-shuffle broadcast kNN
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    feats = nodes.filter("id > 0").selectExpr("id AS node_id", "lon", "lat")
+    _, strategy = knn_join_auto(imgs, feats, k=3, return_strategy=True)
+    assert strategy == "broadcast"
+    _, strategy = knn_join_auto(
+        imgs, feats, k=3, max_broadcast_features=1, return_strategy=True
+    )
+    assert strategy == "shuffle"
+
+
+def test_pip_auto_broadcast_selection(spark):
+    """pip_join's default must auto-broadcast small polygon sets and
+    switch the rings onto the join rows above the vertex budget
+    (both paths produce identical rows)."""
+    from parity import canon_rows
+
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, SF_SMALL).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    auto = pip_join(imgs, rects, ("image_id",), ("rect_id", "layer"))
+    rows_auto = canon_rows(auto.toPandas())
+    # above-budget: rings ride the join rows (no driver collect)
+    riding = pip_join(
+        imgs, rects, ("image_id",), ("rect_id", "layer"),
+        max_broadcast_vertices=1,
+    )
+    assert canon_rows(riding.toPandas()) == rows_auto
