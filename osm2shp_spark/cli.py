@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("output_dir")
     ap.add_argument("--images", action="store_true", help="also classify images.parquet")
     ap.add_argument("--generalize", action="store_true", help="run DP simplify + clean (mapgen.sh parity)")
+    ap.add_argument("--shapefiles", action="store_true",
+                    help="also export binary .shp/.shx/.dbf/.prj per layer (reference sink parity)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -79,6 +81,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         res.outputs["ways_generalized"] = gen_out
         res.counts["generalized_ways"] = int(obs.get["n"])
+
+    if args.shapefiles:
+        from osm2shp_spark.sources.shapefile import export_shapefiles
+
+        shp_dir = os.path.join(args.output_dir, "shapefiles")
+        shp_counts = export_shapefiles(
+            spark.read.parquet(res.outputs["points"]),
+            spark.read.parquet(res.outputs["ways"]),
+            shp_dir,
+        )
+        res.outputs["shapefiles"] = shp_dir
+        res.counts["shapefile_records"] = sum(shp_counts.values())
 
     print(json.dumps({"snapshot_id": res.snapshot_id, "counts": res.counts, "outputs": res.outputs}))
     spark.stop()
