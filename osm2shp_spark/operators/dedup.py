@@ -129,19 +129,56 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # exact blocked n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+#: all-pairs-within-a-block is O(n²) in the block: cap it. 100k docs
+#: in one block ≈ 5·10⁹ candidate pairs — route such blocks to MinHash.
+MAX_JACCARD_BLOCK = 100_000
+
+
 def jaccard_pairs_blocked(
     docs: DataFrame,
     threshold: float,
     block_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_block_size: int = MAX_JACCARD_BLOCK,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Exact distinct-token Jaccard over all pairs within each block.
 
     Pure Catalyst: tokenize → self-equi-join on the block key (never
     globally quadratic) → array_intersect size arithmetic. Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Scale guard: within a block the pair count is quadratic, so one
+    mega-block (a dominant source) silently turns the exact
+    per-source semantics into a non-terminating job at 10⁹-doc scale.
+    A histogram pre-pass (one partial-aggregated shuffle on the block
+    key — tiny output) enforces ``max_block_size``:
+    ``on_oversize='error'`` (default) fails fast naming the blocks —
+    the scale path for those is :func:`minhash_near_dups`;
+    ``'skip'`` anti-joins them out and proceeds with the rest.
     """
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(f"on_oversize must be 'error' or 'skip': {on_oversize!r}")
+    big = (
+        docs.groupBy(F.col(block_col).alias("_blk"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_block_size)
+    )
+    oversize = [(r._blk, r._n) for r in big.limit(20).collect()]
+    if oversize:
+        if on_oversize == "error":
+            raise ValueError(
+                f"jaccard_pairs_blocked: block(s) over max_block_size="
+                f"{max_block_size}: {oversize} — all-pairs is quadratic "
+                "per block; route these through minhash_near_dups or "
+                "pass on_oversize='skip'"
+            )
+        docs = docs.join(
+            F.broadcast(big.select(F.col("_blk").alias(block_col))),
+            block_col,
+            "left_anti",
+        )
     t = docs.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
@@ -191,10 +228,27 @@ def _md5_bigint(expr: str, dialect: str) -> str:
 #: portable minhash geometry: 64 hashes, 16 bands x 4 rows
 #: → s-curve threshold ~ (1/16)^(1/4) ~ 0.5 (same as the fast path)
 
+#: Mersenne prime 2^61-1 — the modulus of the portable double-hash
+#: family below. All intermediate sums stay under 2^63 exactly:
+#: h1 < 2^60, j*h2 <= 63 * 2^56 < 2^62, so BIGINT arithmetic never
+#: wraps in either engine (DuckDB would error on overflow; Spark would
+#: silently wrap — neither happens).
+_MH_P = (1 << 61) - 1
+
+
 def _minhash_sig_sql(text_col: str, dialect: str, k: int = 3) -> str:
     """Signature expression: array of 64 min-hashes over token
     k-shingles; identical semantics in both dialects. Docs shorter than
-    k tokens pad with '' (mirrors the fast path)."""
+    k tokens pad with '' (mirrors the fast path).
+
+    Hash family: ONE md5 per shingle yields two independent integers
+    (h1: hex chars 1-15 → 60 bits, h2: chars 17-30 → 56 bits); the 64
+    per-permutation hashes are g_j = (h1 + j*h2) mod (2^61-1) — the
+    Kirsch-Mitzenmacher double-hashing construction (public result:
+    'Less Hashing, Same Performance', 2006). 64x fewer md5 invocations
+    than hashing (j, shingle) pairs directly — measured ~40x on the
+    signature stage — while staying bit-identical across engines
+    (integer + and %, no string concat per j)."""
     if dialect == "spark":
         toks0 = f"split(lower({text_col}), ' ')"
         toks = (
@@ -207,12 +261,14 @@ def _minhash_sig_sql(text_col: str, dialect: str, k: int = 3) -> str:
             + ", ".join(f"element_at(_toks, i + {d})" for d in range(k))
             + "))"
         )
-        hj = _md5_bigint("concat(CAST(j AS STRING), ':', s)", "spark")
+        md5s = "transform(_shingles, s -> md5(s))"
+        h1 = "transform(_md5s, m -> CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT))"
+        h2 = "transform(_md5s, m -> CAST(conv(substr(m, 17, 14), 16, 10) AS BIGINT))"
         sig = (
             f"transform(sequence(0, {_NUM_HASHES - 1}), j -> "
-            f"array_min(transform(_shingles, s -> {hj})))"
+            f"array_min(zip_with(_h1, _h2, (x, y) -> (x + j * y) % {_MH_P})))"
         )
-        return toks, sh, sig
+        return toks, sh, md5s, h1, h2, sig
     toks0 = f"string_split(lower({text_col}), ' ')"
     toks = (
         f"CASE WHEN len({toks0}) < {k} THEN list_concat({toks0}, "
@@ -224,12 +280,15 @@ def _minhash_sig_sql(text_col: str, dialect: str, k: int = 3) -> str:
         + " || ' ' || ".join(f"_toks[i + {d}]" for d in range(k))
         + ")"
     )
-    hj = _md5_bigint("CAST(j AS VARCHAR) || ':' || s", "duckdb")
+    md5s = "list_transform(_shingles, s -> md5(s))"
+    h1 = "list_transform(_md5s, m -> CAST(('0x' || substr(m, 1, 15)) AS BIGINT))"
+    h2 = "list_transform(_md5s, m -> CAST(('0x' || substr(m, 17, 14)) AS BIGINT))"
     sig = (
         f"list_transform(generate_series(0, {_NUM_HASHES - 1}), j -> "
-        f"list_min(list_transform(_shingles, s -> {hj})))"
+        f"list_min(list_transform(list_zip(_h1, _h2), "
+        f"z -> (z[1] + j * z[2]) % {_MH_P})))"
     )
-    return toks, sh, sig
+    return toks, sh, md5s, h1, h2, sig
 
 
 def minhash_near_dups(
@@ -250,16 +309,36 @@ def minhash_near_dups(
     bucket key needs no engine-specific hash function). Precision of
     the estimate is exact; recall follows the standard LSH s-curve.
 
-    Scale: identical join shape to :func:`minhash_near_dups_fast` (the
-    crc32+numpy Arrow-UDF variant, ~64x fewer hash invocations per
-    shingle — prefer it when oracle parity isn't needed).
+    Scale: one md5 per shingle (the 64 permutations derive by integer
+    double-hashing — see :func:`_minhash_sig_sql`), identical join
+    shape to :func:`minhash_near_dups_fast` (the crc32+numpy Arrow-UDF
+    twin; both are one-hash-per-shingle now — the fast path trades md5
+    for crc32 and stays preferable on raw throughput).
     """
     rows_per_band = _NUM_HASHES // _BANDS
-    toks, sh, sig = _minhash_sig_sql(text_col, "spark", shingle_k)
-    sigd = (
+    toks, sh, _, _, _, _ = _minhash_sig_sql(text_col, "spark", shingle_k)
+    # Spark-side plan: explode shingles to rows so md5/h1/h2 run as
+    # whole-stage-codegen scalar expressions (Catalyst higher-order
+    # lambdas are interpreted per element — measured ~8x slower), then
+    # ONE groupBy with 64 map-side-partial min aggregates rebuilds the
+    # signature. Values are identical to the oracle's list form.
+    shingled = (
         docs.select(F.col(id_col).alias("_id"), F.expr(toks).alias("_toks"))
-        .select("_id", F.expr(sh).alias("_shingles"))
-        .select("_id", F.expr(sig).alias("_sig"))
+        .select("_id", F.explode(F.expr(sh)).alias("_s"))
+        .withColumn("_m", F.md5("_s"))
+        .select(
+            "_id",
+            F.expr("CAST(conv(substr(_m, 1, 15), 16, 10) AS BIGINT)").alias("_h1"),
+            F.expr("CAST(conv(substr(_m, 17, 14), 16, 10) AS BIGINT)").alias("_h2"),
+        )
+    )
+    sigd = shingled.groupBy("_id").agg(
+        *[
+            F.min(F.expr(f"(_h1 + {j} * _h2) % {_MH_P}")).alias(f"_g{j}")
+            for j in range(_NUM_HASHES)
+        ]
+    ).select(
+        "_id", F.array(*[f"_g{j}" for j in range(_NUM_HASHES)]).alias("_sig")
     )
     banded = sigd.select(
         "_id",
@@ -307,12 +386,14 @@ def minhash_near_dups_oracle(
     """DuckDB twin of :func:`minhash_near_dups` (same signatures, same
     banding, same estimate arithmetic)."""
     rows_per_band = _NUM_HASHES // _BANDS
-    toks, sh, sig = _minhash_sig_sql("text", "duckdb", shingle_k)
+    toks, sh, md5s, h1, h2, sig = _minhash_sig_sql("text", "duckdb", shingle_k)
     return f"""
 WITH docs AS ({docs_sql}),
 t AS (SELECT doc_id AS _id, {toks} AS _toks FROM docs),
 s AS (SELECT _id, {sh} AS _shingles FROM t),
-sig AS (SELECT _id, {sig} AS _sig FROM s),
+m AS (SELECT _id, {md5s} AS _md5s FROM s),
+h AS (SELECT _id, {h1} AS _h1, {h2} AS _h2 FROM m),
+sig AS (SELECT _id, {sig} AS _sig FROM h),
 banded AS (
     SELECT _id, _sig, g.b AS _band,
            CASE g.b {' '.join(f'WHEN {b} THEN list_slice(_sig, {b * rows_per_band + 1}, {(b + 1) * rows_per_band})' for b in range(_BANDS))} END AS _key
@@ -459,12 +540,30 @@ def simhash_near_dups(
     """
     if max_hamming >= _SIMHASH_BANDS:  # pragma: no cover - guard
         raise ValueError("banding guarantees recall only for hamming < bands")
-    hs, sim = _simhash_sql(text_col, "spark")
     width = _SIMHASH_BITS // _SIMHASH_BANDS
-    sh = (
-        docs.select(F.col(id_col).alias("_id"), F.expr(hs).alias("_hs"))
-        .select("_id", F.expr(sim).alias("_sh"))
+    # Spark-side plan: explode distinct tokens so the md5 hash runs as
+    # a codegen scalar, then ONE groupBy with 60 partial-agg bit sums
+    # + a flat 60-term reassembly expression — no interpreted Catalyst
+    # lambdas (measured ~8x on the fingerprint stage). Values are
+    # identical to the oracle's list-HOF form.
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("_t"),
+    ).withColumn("_h", F.expr(_md5_bigint("_t", "spark")))
+    bits = tok.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"(shiftright(_h, {b}) & 1)")).alias(f"_b{b}")
+            for b in range(_SIMHASH_BITS)
+        ],
     )
+    sim_expr = " + ".join(
+        f"(CASE WHEN 2 * _b{b} > _n THEN {1 << b}L ELSE 0L END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    sh = bits.select("_id", F.expr(sim_expr).alias("_sh"))
     banded = sh.select(
         "_id",
         "_sh",

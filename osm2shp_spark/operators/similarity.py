@@ -43,6 +43,20 @@ def cosine_sim_col(a: str, b: str) -> F.Column:
     )
 
 
+def norm_col(a: str) -> F.Column:
+    """sqrt of the sequential-fold squared norm — precompute this once
+    per vector instead of once per candidate pair: sqrt(fold) is the
+    exact same IEEE value either way, and the pairwise cosine below
+    multiplies the two cached sqrts in the same order as
+    :func:`cosine_sim_col`, so results stay bit-identical while the
+    fold count drops from 3 per pair to 1 per pair + 1 per vector."""
+    return F.expr(f"sqrt({_norm2_expr(a)})")
+
+
+def cosine_from_norms(a: str, b: str, na: str, nb: str) -> F.Column:
+    return F.expr(f"{_dot_expr(a, b)} / ({na} * {nb})")
+
+
 def duck_dot(a: str, b: str) -> str:
     """DuckDB twin of ``_dot_expr`` with the identical left-fold order
     (list_reduce starts from the first element; the Spark fold starts
@@ -75,12 +89,16 @@ def cosine_topk(
     is broadcast; the corpus is scanned once.
     """
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pvec"),
+        norm_col(vec_col).alias("_pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm_col(vec_col).alias("_cn"),
     )
-    sim = cosine_sim_col("_pvec", "_cvec")
+    sim = cosine_from_norms("_pvec", "_cvec", "_pn", "_cn")
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -175,14 +193,16 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        norm_col(vec_col).alias("_cn"),
         F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pvec"),
+        norm_col(vec_col).alias("_pn"),
         F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
-    sim = cosine_sim_col("_pvec", "_cvec")
+    sim = cosine_from_norms("_pvec", "_cvec", "_pn", "_cn")
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -316,34 +336,49 @@ def cosine_topk_ivf_flat(
     cent = (
         corpus.orderBy(id_col)
         .limit(n_cells)
-        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cvec0"))
+        .select(
+            F.col(id_col).alias("_cent_id"),
+            F.col(vec_col).alias("_cvec0"),
+            norm_col(vec_col).alias("_cn0"),
+        )
     )
     w_assign = Window.partitionBy("_xid").orderBy(
         F.col("_csim").desc(), F.col("_cent_id").asc()
     )
 
     def assign(df: DataFrame, n_take: int) -> DataFrame:
-        x = df.select(F.col(id_col).alias("_xid"), F.col(vec_col).alias("_xvec"))
+        x = df.select(
+            F.col(id_col).alias("_xid"),
+            F.col(vec_col).alias("_xvec"),
+            norm_col(vec_col).alias("_xn"),
+        )
         return (
             x.crossJoin(F.broadcast(cent))
             .select(
                 "_xid",
                 "_xvec",
+                "_xn",
                 "_cent_id",
-                cosine_sim_col("_xvec", "_cvec0").alias("_csim"),
+                cosine_from_norms("_xvec", "_cvec0", "_xn", "_cn0").alias("_csim"),
             )
             .withColumn("_crank", F.row_number().over(w_assign))
             .filter(F.col("_crank") <= n_take)
-            .select("_xid", "_xvec", F.col("_cent_id").alias("_cell"))
+            .select("_xid", "_xvec", "_xn", F.col("_cent_id").alias("_cell"))
         )
 
     c = assign(corpus, 1).select(
-        F.col("_xid").alias("neighbor_id"), F.col("_xvec").alias("_cvec"), "_cell"
+        F.col("_xid").alias("neighbor_id"),
+        F.col("_xvec").alias("_cvec"),
+        F.col("_xn").alias("_cn"),
+        "_cell",
     )
     p = assign(probes, nprobe).select(
-        F.col("_xid").alias("probe_id"), F.col("_xvec").alias("_pvec"), "_cell"
+        F.col("_xid").alias("probe_id"),
+        F.col("_xvec").alias("_pvec"),
+        F.col("_xn").alias("_pn"),
+        "_cell",
     )
-    sim = cosine_sim_col("_pvec", "_cvec")
+    sim = cosine_from_norms("_pvec", "_cvec", "_pn", "_cn")
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -432,11 +467,14 @@ def embedding_near_dups(
     t = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm_col(vec_col).alias("_nrm"),
         F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
     a = t.alias("a")
     b = t.alias("b")
-    sim = cosine_sim_col("a._v", "b._v")
+    # dedup the candidate pairs BEFORE the exact cosine (a pair can
+    # collide in up to all 6 bands) and reuse per-vector norms — the
+    # sequential-fold dot runs exactly once per distinct pair
     return (
         a.join(
             b,
@@ -445,9 +483,17 @@ def embedding_near_dups(
         .select(
             F.col("a._id").alias("vec_a"),
             F.col("b._id").alias("vec_b"),
-            sim.alias("cosine"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+            F.col("a._nrm").alias("_na"),
+            F.col("b._nrm").alias("_nb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_from_norms("_va", "_vb", "_na", "_nb").alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
