@@ -147,7 +147,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score_oracle(docs_sql: str) -> str:
+def quality_subquery_duck(src: str) -> str:
+    """Derived-table SQL computing (doc_id, quality, punct_ratio,
+    stop_hits) over a CTE/table named ``src`` — shared by the
+    standalone quality oracle and composite pipelines (corpus
+    curation)."""
     t = _toks_sql_duck("text")
     punct = " + ".join(
         f"(length(text) - length(replace(text, '{c}', '')))"
@@ -155,24 +159,30 @@ def quality_score_oracle(docs_sql: str) -> str:
     )
     all_stop = [w for lg in sorted(LANG_STOPWORDS) for w in LANG_STOPWORDS[lg]]
     stop_list = "[" + ", ".join(repr(w) for w in all_stop) + "]"
-    return f"""
-WITH docs AS ({docs_sql}),
-m AS (
+    return f"""(
     SELECT doc_id,
-           length(text) AS n_chars,
-           CAST({punct} AS DOUBLE) / length(text) AS punct_ratio,
-           len(list_intersect(list_distinct({t}), {stop_list})) AS stop_hits
-    FROM docs
-)
-SELECT doc_id,
-       (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN {dlit(1.0)}
-             ELSE {dlit(0.5)} END) * {dlit(0.4)}
-       + (CASE WHEN punct_ratio <= {dlit(0.1)} THEN {dlit(1.0)}
-               ELSE {dlit(0.5)} END) * {dlit(0.3)}
-       + (CASE WHEN stop_hits >= 2 THEN {dlit(1.0)}
-               ELSE {dlit(0.5)} END) * {dlit(0.3)} AS quality,
-       punct_ratio, stop_hits
-FROM m
+           (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN {dlit(1.0)}
+                 ELSE {dlit(0.5)} END) * {dlit(0.4)}
+           + (CASE WHEN punct_ratio <= {dlit(0.1)} THEN {dlit(1.0)}
+                   ELSE {dlit(0.5)} END) * {dlit(0.3)}
+           + (CASE WHEN stop_hits >= 2 THEN {dlit(1.0)}
+                   ELSE {dlit(0.5)} END) * {dlit(0.3)} AS quality,
+           punct_ratio, stop_hits
+    FROM (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CAST({punct} AS DOUBLE) / length(text) AS punct_ratio,
+               len(list_intersect(list_distinct({t}), {stop_list})) AS stop_hits
+        FROM {src}
+    ) _qm
+)"""
+
+
+def quality_score_oracle(docs_sql: str) -> str:
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT doc_id, quality, punct_ratio, stop_hits
+FROM {quality_subquery_duck('docs')} _q
 """
 
 

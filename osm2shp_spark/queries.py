@@ -434,6 +434,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _curation_oracle() -> str:
+    from osm2shp_spark.operators.text import quality_subquery_duck
+
+    return f"""
+WITH docs AS ({DOCS_AUG_SQL}),
+keepers AS (
+    SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(lower(text))
+),
+kept AS (
+    SELECT d.doc_id, d.text, d.lang, d.source
+    FROM docs d JOIN keepers USING (doc_id)
+),
+q AS (SELECT doc_id, quality FROM {quality_subquery_duck('kept')} _q)
+SELECT k.source, k.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN q.quality >= 0.8e0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_quality
+FROM kept k JOIN q USING (doc_id)
+GROUP BY k.source, k.lang
+"""
+
+
+@register("corpus_curation", _curation_oracle)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition a training-data
+    job actually runs: exact dedup (keep smallest id per normalized
+    text) → quality scoring → per-(source, lang) corpus accounting
+    (docs, whitespace tokens, high-quality count). Three shuffles
+    total: dedup groupBy, the keeper semi-join, the final rollup —
+    all map-side partial-aggregated; quality is a pure codegen
+    expression, so the whole pipeline is JVM-only."""
+    from osm2shp_spark.operators.dedup import exact_dup_groups
+    from osm2shp_spark.operators.text import quality_score
+
+    docs = _docs_aug(spark, sf_dir)
+    keepers = exact_dup_groups(docs).select(F.col("keeper").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    q = quality_score(kept).select("doc_id", "quality")
+    toks = kept.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("_ntok"),
+    )
+    return (
+        toks.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("quality") >= F.lit(0.8), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_high_quality"),
+        )
+    )
+
+
 from osm2shp_spark.operators.text import winnow_fingerprints_oracle  # noqa: E402
 
 
@@ -853,6 +911,27 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_over_parquet(
         spark, _os.path.join(sf_dir, "events.parquet"), name="q_sessions_out"
     ).select("user_id", "session_start", "session_end", "n_events")
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, value FROM events
+"""
+
+
+@register("events_stream_dedup", _STREAM_DEDUP_ORACLE)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
+    state) over the event stream with injected at-least-once
+    re-deliveries — result equals the batch DISTINCT, which is the
+    oracle (event_id is unique in the base table, so DISTINCT reduces
+    to the table itself)."""
+    import os as _os
+
+    from osm2shp_spark.streaming.windows import stream_dedup_over_parquet
+
+    return stream_dedup_over_parquet(
+        spark, _os.path.join(sf_dir, "events.parquet"), name="q_dedup_out"
+    )
 
 
 @register("events_stream_window", _WINDOW_AGG_ORACLE)

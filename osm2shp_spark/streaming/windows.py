@@ -83,6 +83,43 @@ def windowed_agg_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_over_parquet(
+    spark: SparkSession, parquet_path: str, name: str = "dedup_out"
+) -> DataFrame:
+    """Streaming exact dedup — the training-pipeline 'drop re-delivered
+    records as they arrive' operator. The event stream is unioned with
+    a duplicate substream (every 10th event re-delivered: the injected
+    at-least-once-delivery fixture) and passed through
+    ``dropDuplicatesWithinWatermark`` on the event key: state holds
+    only keys younger than the watermark, so memory is bounded no
+    matter how long the stream runs. Duplicate rows are bit-identical,
+    so which physical copy survives is unobservable — the result is
+    deterministic and equals the batch DISTINCT."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(parquet_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        parquet_path = os.path.dirname(parquet_path)
+    base = reader.parquet(parquet_path)
+    redelivered = base.filter(F.col("event_id") % 10 == 0)
+    stream = (
+        base.union(redelivered)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "value")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_over_parquet(
     spark: SparkSession, parquet_path: str, name: str = "stream_out"
 ) -> DataFrame:
