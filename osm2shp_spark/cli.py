@@ -41,11 +41,17 @@ def main(argv: list[str] | None = None) -> int:
     from osm2shp_spark.session import get_spark
 
     if os.path.isfile(args.input_dir):
-        # raw OSM XML input, exactly like the reference binary
-        from osm2shp_spark.sources.osmxml import convert_osm_to_parquet
-
+        # raw OSM input file, exactly like the reference binary
+        # (osm2shp.cc:13 accepts .osm(.gz|.bz2); PBF per osm2shp.cc:1)
         ingest_dir = os.path.join(args.output_dir, "ingested")
-        counts = convert_osm_to_parquet(args.input_dir, ingest_dir)
+        if args.input_dir.endswith(".pbf"):
+            from osm2shp_spark.sources.osmpbf import convert_pbf_to_parquet
+
+            counts = convert_pbf_to_parquet(args.input_dir, ingest_dir)
+        else:
+            from osm2shp_spark.sources.osmxml import convert_osm_to_parquet
+
+            counts = convert_osm_to_parquet(args.input_dir, ingest_dir)
         print(json.dumps({"ingested": counts}), file=sys.stderr)
         args.input_dir = ingest_dir
 

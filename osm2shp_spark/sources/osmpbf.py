@@ -1,0 +1,433 @@
+"""OSM PBF ingestion (O1, the reference's PRIMARY input format —
+osm2shp.cc:1 ``OSMIUM_WITH_PBF_INPUT``), pure Python + zlib from the
+public PBF format spec (wiki.openstreetmap.org/wiki/PBF_Format and
+the published osmformat.proto/fileformat.proto field numbers).
+
+Why PBF matters more than XML at scale: a PBF file is a sequence of
+*independently decodable* compressed blobs (~8k entities each), so
+ingestion parallelizes — :func:`blob_index` scans only the 4-byte
+headers (no decompression) to build a (offset, size) table, and
+:func:`read_pbf_distributed` fans the blob ranges out over executors
+with ``mapInPandas``; each worker seeks, inflates and decodes its own
+blobs. The XML path (sources/osmxml.py) is inherently sequential; the
+PBF path is the planet-scale mouth.
+
+Wire format implemented here (all public):
+
+- file: repeated [u32 BE header length][BlobHeader pb][Blob pb]
+- BlobHeader: 1=type (string), 3=datasize (int32)
+- Blob: 1=raw, 2=raw_size, 3=zlib_data
+- PrimitiveBlock: 1=stringtable (nested: repeated 1=bytes),
+  2=primitivegroup, 17=granularity (default 100), 19=lat_offset,
+  20=lon_offset
+- PrimitiveGroup: 2=dense (DenseNodes), 3=ways
+- DenseNodes: 1=id (packed sint64, delta), 8=lat, 9=lon (packed
+  sint64, delta), 10=keys_vals (packed int32, interleaved string
+  indexes, 0 terminates a node's tag list)
+- Way: 1=id (int64), 2=keys / 3=vals (packed uint32),
+  8=refs (packed sint64, delta)
+
+coordinate = 1e-9 * (offset + granularity * value) degrees.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import IO, Iterator
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# varint / protobuf primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
+    """Scan protobuf fields: yields (field_no, wire_type, value) where
+    value is an int for varint fields and a bytes slice for
+    length-delimited ones. Fixed32/64 are skipped (not used by the
+    OSM messages we read)."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            yield field, wire, v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            pos += 4
+        elif wire == 1:
+            pos += 8
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def _packed_varints(buf: bytes, zig: bool = False) -> list[int]:
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        v, pos = _read_varint(buf, pos)
+        out.append(_zigzag(v) if zig else v)
+    return out
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _unzigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _field(field_no: int, wire: int, payload: bytes | int) -> bytes:
+    tag = _write_varint((field_no << 3) | wire)
+    if wire == 0:
+        return tag + _write_varint(payload)
+    return tag + _write_varint(len(payload)) + payload
+
+
+def _packed(field_no: int, values: list[int], zig: bool = False) -> bytes:
+    body = b"".join(
+        _write_varint(_unzigzag(v) if zig else v) for v in values
+    )
+    return _field(field_no, 2, body)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+GRANULARITY_DEFAULT = 100
+COORD_SCALE = 1e-9
+
+
+def blob_index(path: str) -> list[tuple[str, int, int]]:
+    """(type, data_offset, data_size) per blob — reads ONLY the tiny
+    BlobHeaders, no decompression; this is the split table the
+    distributed reader fans out."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            (hlen,) = struct.unpack(">I", raw)
+            header = f.read(hlen)
+            btype, dsize = "", 0
+            for fno, wire, val in _fields(header):
+                if fno == 1:
+                    btype = val.decode()
+                elif fno == 3:
+                    dsize = val
+            out.append((btype, f.tell(), dsize))
+            f.seek(dsize, os.SEEK_CUR)
+    return out
+
+
+def _inflate_blob(blob: bytes) -> bytes:
+    raw = None
+    for fno, wire, val in _fields(blob):
+        if fno == 1:
+            raw = val
+        elif fno == 3:
+            raw = zlib.decompress(val)
+    if raw is None:  # pragma: no cover
+        raise ValueError("blob has neither raw nor zlib_data")
+    return raw
+
+
+def decode_primitive_block(
+    data: bytes,
+) -> tuple[list[tuple], list[tuple]]:
+    """PrimitiveBlock bytes → (node_rows, way_rows) in the converter's
+    table shape: (id, lon, lat, tags[(k,v)]) / (id, refs, tags)."""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    gran, lat_off, lon_off = GRANULARITY_DEFAULT, 0, 0
+    for fno, wire, val in _fields(data):
+        if fno == 1:
+            strings = [
+                v.decode("utf-8")
+                for f2, _, v in _fields(val)
+                if f2 == 1
+            ]
+        elif fno == 2:
+            groups.append(val)
+        elif fno == 17:
+            gran = val
+        elif fno == 19:
+            lat_off = val
+        elif fno == 20:
+            lon_off = val
+    nodes: list[tuple] = []
+    ways: list[tuple] = []
+    for g in groups:
+        for fno, wire, val in _fields(g):
+            if fno == 2:  # DenseNodes
+                ids: list[int] = []
+                lats: list[int] = []
+                lons: list[int] = []
+                kv: list[int] = []
+                for f2, _, v in _fields(val):
+                    if f2 == 1:
+                        ids = _packed_varints(v, zig=True)
+                    elif f2 == 8:
+                        lats = _packed_varints(v, zig=True)
+                    elif f2 == 9:
+                        lons = _packed_varints(v, zig=True)
+                    elif f2 == 10:
+                        kv = _packed_varints(v)
+                idc = np.cumsum(np.array(ids, dtype=np.int64))
+                latc = np.cumsum(np.array(lats, dtype=np.int64))
+                lonc = np.cumsum(np.array(lons, dtype=np.int64))
+                lat_deg = COORD_SCALE * (lat_off + gran * latc)
+                lon_deg = COORD_SCALE * (lon_off + gran * lonc)
+                tag_lists: list[list[tuple[str, str]]] = []
+                if kv:
+                    cur: list[tuple[str, str]] = []
+                    i = 0
+                    while i < len(kv):
+                        if kv[i] == 0:
+                            tag_lists.append(cur)
+                            cur = []
+                            i += 1
+                        else:
+                            cur.append((strings[kv[i]], strings[kv[i + 1]]))
+                            i += 2
+                while len(tag_lists) < len(idc):
+                    tag_lists.append([])
+                for j in range(len(idc)):
+                    nodes.append(
+                        (int(idc[j]), float(lon_deg[j]), float(lat_deg[j]), tag_lists[j])
+                    )
+            elif fno == 3:  # Way
+                wid = 0
+                keys: list[int] = []
+                vals: list[int] = []
+                refs: list[int] = []
+                for f2, _, v in _fields(val):
+                    if f2 == 1:
+                        wid = v
+                    elif f2 == 2:
+                        keys = _packed_varints(v)
+                    elif f2 == 3:
+                        vals = _packed_varints(v)
+                    elif f2 == 8:
+                        refs = _packed_varints(v, zig=True)
+                refc = np.cumsum(np.array(refs, dtype=np.int64)).tolist()
+                ways.append(
+                    (
+                        wid,
+                        [int(r) for r in refc],
+                        [(strings[k], strings[x]) for k, x in zip(keys, vals)],
+                    )
+                )
+    return nodes, ways
+
+
+def parse_osm_pbf(path: str) -> Iterator[tuple[str, tuple]]:
+    """Stream (kind, row) like ``osmxml.parse_osm_xml`` — the
+    single-process path sharing the converter plumbing."""
+    with open(path, "rb") as f:
+        for btype, off, size in blob_index(path):
+            if btype != "OSMData":
+                continue
+            f.seek(off)
+            block = _inflate_blob(f.read(size))
+            nodes, ways = decode_primitive_block(block)
+            for row in nodes:
+                yield "node", row
+            for row in ways:
+                yield "way", row
+
+
+def convert_pbf_to_parquet(
+    pbf_path: str, out_dir: str, batch_rows: int = 100_000
+) -> dict[str, int]:
+    """Single-process converter twin of
+    ``osmxml.convert_osm_to_parquet`` (same output tables)."""
+    from osm2shp_spark.sources.osmxml import (
+        NODE_SCHEMA,
+        WAY_SCHEMA,
+        _BatchWriter,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    nodes = _BatchWriter(os.path.join(out_dir, "nodes.parquet"), NODE_SCHEMA, batch_rows)
+    ways = _BatchWriter(os.path.join(out_dir, "ways.parquet"), WAY_SCHEMA, batch_rows)
+    for kind, row in parse_osm_pbf(pbf_path):
+        (nodes if kind == "node" else ways).add(row)
+    nodes.close()
+    ways.close()
+    return {"nodes": nodes.count, "ways": ways.count}
+
+
+# ---------------------------------------------------------------------------
+# distributed ingestion: blob ranges fan out over executors
+# ---------------------------------------------------------------------------
+
+def read_pbf_distributed(spark, pbf_path: str):
+    """(nodes_df, ways_df) decoded IN PARALLEL: the driver builds the
+    blob split table (headers only — a few bytes per ~8k entities),
+    Spark distributes the (offset, size) ranges, and each task seeks
+    into the file and decodes its own blobs. This is the planet-scale
+    ingestion path the sequential XML reader can't offer; it needs the
+    file visible to executors (local[...] here; object storage / NFS /
+    DBFS in production)."""
+    import pandas as pd
+
+    idx = [
+        (off, size)
+        for btype, off, size in blob_index(pbf_path)
+        if btype == "OSMData"
+    ]
+    ranges = spark.createDataFrame(
+        pd.DataFrame(idx, columns=["off", "size"]), "off BIGINT, size BIGINT"
+    ).repartition(min(len(idx), 64) or 1)
+
+    def decode_nodes(batches):
+        with open(pbf_path, "rb") as f:
+            for pdf in batches:
+                rows = []
+                for off, size in zip(pdf["off"], pdf["size"]):
+                    f.seek(int(off))
+                    ns, _ = decode_primitive_block(_inflate_blob(f.read(int(size))))
+                    # Arrow MAP columns serialize from dicts
+                    rows.extend((i, lo, la, dict(t)) for i, lo, la, t in ns)
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["id", "lon", "lat", "tags"]
+                    )
+
+    def decode_ways(batches):
+        with open(pbf_path, "rb") as f:
+            for pdf in batches:
+                rows = []
+                for off, size in zip(pdf["off"], pdf["size"]):
+                    f.seek(int(off))
+                    _, ws = decode_primitive_block(_inflate_blob(f.read(int(size))))
+                    rows.extend((i, r, dict(t)) for i, r, t in ws)
+                if rows:
+                    yield pd.DataFrame(rows, columns=["id", "refs", "tags"])
+
+    nodes = ranges.mapInPandas(
+        decode_nodes,
+        schema="id BIGINT, lon DOUBLE, lat DOUBLE, tags MAP<STRING,STRING>",
+    )
+    ways = ranges.mapInPandas(
+        decode_ways,
+        schema="id BIGINT, refs ARRAY<BIGINT>, tags MAP<STRING,STRING>",
+    )
+    return nodes, ways
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture/round-trip support — also public wire format)
+# ---------------------------------------------------------------------------
+
+def encode_osm_pbf(
+    node_rows: list[tuple[int, float, float, dict[str, str]]],
+    way_rows: list[tuple[int, list[int], dict[str, str]]],
+    entities_per_blob: int = 8000,
+) -> bytes:
+    """Render rows into a valid PBF byte stream (DenseNodes + Ways,
+    zlib blobs) — used by tests to prove the decoder round-trips the
+    engine's table shape exactly."""
+    strings: list[str] = [""]  # index 0 is reserved/unused
+    sidx: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        if s not in sidx:
+            sidx[s] = len(strings)
+            strings.append(s)
+        return sidx[s]
+
+    def block_bytes(nodes, ways) -> bytes:
+        nonlocal strings, sidx
+        strings = [""]
+        sidx = {}
+        group = b""
+        if nodes:
+            ids = [n[0] for n in nodes]
+            lats = [int(round(n[3] / COORD_SCALE / GRANULARITY_DEFAULT)) for n in nodes]
+            lons = [int(round(n[2] / COORD_SCALE / GRANULARITY_DEFAULT)) for n in nodes]
+            kv: list[int] = []
+            for n in nodes:
+                for k, v in n[4].items():
+                    kv.extend([intern(k), intern(v)])
+                kv.append(0)
+            dn = (
+                _packed(1, _deltas(ids), zig=True)
+                + _packed(8, _deltas(lats), zig=True)
+                + _packed(9, _deltas(lons), zig=True)
+                + _packed(10, kv)
+            )
+            group += _field(2, 2, dn)
+        for wid, refs, tags in ways:
+            w = _field(1, 0, wid)
+            w += _packed(2, [intern(k) for k in tags])
+            w += _packed(3, [intern(v) for v in tags.values()])
+            w += _packed(8, _deltas(refs), zig=True)
+            group += _field(3, 2, w)
+        st = _field(1, 2, b"".join(_field(1, 2, s.encode()) for s in strings))
+        return st + _field(2, 2, group)
+
+    def _deltas(vals: list[int]) -> list[int]:
+        prev = 0
+        out = []
+        for v in vals:
+            out.append(v - prev)
+            prev = v
+        return out
+
+    def blob(block: bytes) -> bytes:
+        z = zlib.compress(block)
+        body = _field(2, 0, len(block)) + _field(3, 2, z)
+        header = _field(1, 2, b"OSMData") + _field(3, 0, len(body))
+        return struct.pack(">I", len(header)) + header + body
+
+    # nodes first, then ways — the dump ordering the reference relies
+    # on (our join-based engine doesn't need it, but fixtures mirror
+    # real planet files)
+    out = []
+    tagged_nodes = [
+        (n[0], None, n[1], n[2], n[3]) for n in node_rows
+    ]  # (id, _, lon, lat, tags)
+    for i in range(0, len(tagged_nodes), entities_per_blob):
+        chunk = tagged_nodes[i : i + entities_per_blob]
+        out.append(blob(block_bytes(chunk, [])))
+    for i in range(0, len(way_rows), entities_per_blob):
+        chunk = way_rows[i : i + entities_per_blob]
+        out.append(blob(block_bytes([], chunk)))
+    return b"".join(out)
