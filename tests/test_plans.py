@@ -143,3 +143,26 @@ def test_pip_auto_broadcast_selection(spark):
         max_broadcast_vertices=1,
     )
     assert canon_rows(riding.toPandas()) == rows_auto
+
+
+def test_ivf_flat_plan_shape(spark):
+    """IVF assignment is an INTENTIONAL broadcast nested-loop of rows x
+    n_cells (the standard IVF indexing bill); everything else must be
+    hash joins — never an unbroadcast cartesian."""
+    from osm2shp_spark import queries as Q
+
+    p = _plan(Q.REGISTRY["ann_cosine_ivf"][0](spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the n_cells assignment
+    assert "BroadcastHashJoin" in p  # the cell-candidate join
+
+
+def test_corpus_curation_plan_shape(spark):
+    """The curation pipeline must stay all-JVM hash joins + partial
+    aggregates (no cartesian, no Python stage)."""
+    from osm2shp_spark import queries as Q
+
+    p = _plan(Q.REGISTRY["corpus_curation"][0](spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
