@@ -23,7 +23,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from osm2shp_spark.functions.udfs import with_geometry_meta, with_point_cells
+from osm2shp_spark.functions.udfs import (
+    with_geometry_meta,
+    with_point_cells,
+    with_way_cells,
+)
 from osm2shp_spark.operators.assemble import assemble_ways_auto
 from osm2shp_spark.operators.classify import classify_nodes
 from osm2shp_spark.operators.skew import adaptive_cells
@@ -103,8 +107,14 @@ def run(
 
     # --- ways: assemble + geometry meta + cells --------------------------
     # strategy auto-selected by size stats (mapside broadcast / salted
-    # mega-way / general Catalyst) — operators/assemble.py
-    assembled = with_geometry_meta(assemble_ways_auto(nodes, ways))
+    # mega-way / general Catalyst) — operators/assemble.py; every
+    # assembled geometry carries hex cells res 7-12 + S2 covering
+    # tokens (north rule), one Arrow pass each family
+    assembled = with_way_cells(
+        with_geometry_meta(assemble_ways_auto(nodes, ways)),
+        s2_level=s2_level,
+        hex_resolutions=hex_resolutions,
+    )
     way_out = os.path.join(out_dir, "ways")
     res.outputs["ways"] = way_out
     res.counts["exported_ways"] = _export_stage(

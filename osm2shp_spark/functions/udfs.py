@@ -92,6 +92,71 @@ def with_point_cells(
     return out.drop("_cells")
 
 
+def way_cells_udf(s2_level: int, hex_resolutions: tuple[int, ...]):
+    """Geometry cell assignment (north rule: every assembled
+    linestring/polygon carries H3-style cells res 7-12 + S2 covering
+    tokens): per way, the distinct vertex hex cells per resolution and
+    an S2 bbox-covering token set. The covering level adapts downward
+    (level -2 per step) until the cover fits ``max_cells`` — the same
+    guarantee the PIP tile explode relies on: a superset, never a
+    miss. One Arrow pass for the whole family."""
+    fields = [
+        T.StructField("s2_cover_level", T.IntegerType()),
+        T.StructField("s2_cover_tokens", T.ArrayType(T.StringType())),
+    ] + [
+        T.StructField(f"hex_r{r}_cells", T.ArrayType(T.LongType()))
+        for r in hex_resolutions
+    ]
+
+    @F.pandas_udf(T.StructType(fields))
+    def _f(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+        out: dict[str, list] = {
+            "s2_cover_level": [],
+            "s2_cover_tokens": [],
+        }
+        for r in hex_resolutions:
+            out[f"hex_r{r}_cells"] = []
+        for lo, la in zip(lons, lats):
+            lo = np.asarray(lo, np.float64)
+            la = np.asarray(la, np.float64)
+            level = s2_level
+            while True:
+                try:
+                    ids = s2.bbox_covering(
+                        float(lo.min()), float(la.min()),
+                        float(lo.max()), float(la.max()),
+                        level, max_cells=64,
+                    )
+                    break
+                except ValueError:
+                    level -= 2
+            out["s2_cover_level"].append(level)
+            out["s2_cover_tokens"].append(list(s2.token(ids)))
+            for r in hex_resolutions:
+                out[f"hex_r{r}_cells"].append(
+                    np.unique(hexgrid.hex_cell(lo, la, r)).tolist()
+                )
+        return pd.DataFrame(out)
+
+    return _f
+
+
+def with_way_cells(
+    df: DataFrame,
+    s2_level: int = 12,
+    hex_resolutions: tuple[int, ...] = HEX_RESOLUTIONS,
+) -> DataFrame:
+    """Add the geometry cell-index family to an assembled-ways table
+    (requires lons/lats array columns)."""
+    fam = way_cells_udf(s2_level, hex_resolutions)
+    out = df.withColumn("_wc", fam(F.col("lons"), F.col("lats")))
+    for f in ["s2_cover_level", "s2_cover_tokens"] + [
+        f"hex_r{r}_cells" for r in hex_resolutions
+    ]:
+        out = out.withColumn(f, F.col(f"_wc.{f}"))
+    return out.drop("_wc")
+
+
 @F.pandas_udf(T.BinaryType())
 def wkb_udf(kind: pd.Series, lons: pd.Series, lats: pd.Series) -> pd.Series:
     out = [

@@ -190,3 +190,36 @@ class TestHexGrid:
         n5 = len(np.unique(hexgrid.hex_cell(lon, lat, 5)))
         n6 = len(np.unique(hexgrid.hex_cell(lon, lat, 6)))
         assert 4 < n6 / n5 < 10
+
+
+def test_way_cells_covering_superset(spark):
+    """North-rule geometry cells: every vertex's S2 cell at the chosen
+    cover level must be inside the way's covering token set, and every
+    vertex hex cell must appear in the per-res cell arrays."""
+    import numpy as np
+
+    from osm2shp_spark.functions import hexgrid, s2
+    from osm2shp_spark.functions.udfs import with_way_cells
+    from osm2shp_spark.operators.assemble import assemble_ways
+    from osm2shp_spark.sources.synthetic import synthetic_nodes, synthetic_ways
+    from conftest import SF_SMALL
+
+    assembled = assemble_ways(
+        synthetic_nodes(spark, SF_SMALL), synthetic_ways(spark, SF_SMALL)
+    )
+    rows = (
+        with_way_cells(assembled, hex_resolutions=(7, 9))
+        .select("lons", "lats", "s2_cover_level", "s2_cover_tokens",
+                "hex_r7_cells", "hex_r9_cells")
+        .limit(100)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        lo = np.array(r.lons)
+        la = np.array(r.lats)
+        toks = set(r.s2_cover_tokens)
+        vert_toks = s2.token(s2.cell_id(la, lo, r.s2_cover_level))
+        assert set(vert_toks) <= toks, "covering missed a vertex cell"
+        assert set(hexgrid.hex_cell(lo, la, 7).tolist()) == set(r.hex_r7_cells)
+        assert set(hexgrid.hex_cell(lo, la, 9).tolist()) == set(r.hex_r9_cells)
