@@ -161,6 +161,23 @@ def pip_join(
         & (F.col("_py") <= F.col("_lat_max"))
     )
     out_cols = list(point_cols) + list(poly_cols)
+    return _refine_candidates(
+        cand, points, polygons, poly_key, out_cols, broadcast_rings, ring_cols
+    )
+
+
+def _refine_candidates(
+    cand: DataFrame,
+    points: DataFrame,
+    polygons: DataFrame,
+    poly_key: str,
+    out_cols: list[str],
+    broadcast_rings: bool,
+    ring_cols: list[str],
+) -> DataFrame:
+    """Shared exact-PIP refine stage (flat-grid and S2-covering
+    prefilters both feed it): bbox-cut candidates → rect fast path
+    entirely JVM-side → vectorized ray-cast for the rest."""
     # slim the Arrow payload: the refine needs only coords + carried
     # columns — the bbox doubles stay JVM-side (the round trip is the
     # stage's bandwidth bill at ~10^7 candidates)
@@ -220,6 +237,105 @@ def pip_join(
         return rect_hits.unionByName(general.mapInPandas(refine, schema=schema))
 
     return cand.select(*refine_cols).mapInPandas(refine, schema=schema)
+
+
+def pip_join_s2(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_cols: tuple[str, ...],
+    poly_cols: tuple[str, ...],
+    max_cells_per_poly: int = 64,
+    max_level: int = 14,
+) -> DataFrame:
+    """PIP join prefiltered by S2 covering tokens instead of flat-grid
+    tiles — the north rule's 'S2 covering tokens for point-in-polygon
+    layer classification' as a relational equi-join: polygons explode
+    over their bbox covering at a fleet-wide level, points compute
+    their single level-L token, join on token, then the shared exact
+    refine. Identical results to :func:`pip_join` (equivalence- and
+    oracle-tested).
+
+    Level selection: the finest level whose WORST bbox covering fits
+    ``max_cells_per_poly`` — one tiny driver pre-pass over bbox spans
+    (production: a table stat). A fleet-wide level keeps the join a
+    single-key equi-join; per-row adaptive levels are the flat-grid
+    path's adaptive-cell territory.
+    """
+    from pyspark.sql import types as T
+
+    from osm2shp_spark.functions import s2 as S2
+    from osm2shp_spark.functions.udfs import s2_token_udf
+
+    poly_key = poly_cols[0]
+    spans = (
+        polygons.select(
+            (F.array_max("lons") - F.array_min("lons")).alias("dx"),
+            (F.array_max("lats") - F.array_min("lats")).alias("dy"),
+            F.array_min("lons").alias("x0"),
+            F.array_min("lats").alias("y0"),
+        )
+        .agg(
+            F.max("dx").alias("dx"),
+            F.max("dy").alias("dy"),
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+        )
+        .collect()[0]
+    )
+    level = 1
+    for lv in range(max_level, 0, -1):
+        try:
+            S2.bbox_covering(
+                spans["x0"], spans["y0"],
+                spans["x0"] + float(spans["dx"] or 0.0),
+                spans["y0"] + float(spans["dy"] or 0.0),
+                lv, max_cells=max_cells_per_poly,
+            )
+            level = lv
+            break
+        except ValueError:
+            continue
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def cover_tokens(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        out = []
+        for lo, la in zip(lons, lats):
+            lo = np.asarray(lo, np.float64)
+            la = np.asarray(la, np.float64)
+            ids = S2.bbox_covering(
+                float(lo.min()), float(la.min()),
+                float(lo.max()), float(la.max()),
+                level, max_cells=max_cells_per_poly,
+            )
+            out.append(list(S2.token(ids)))
+        return pd.Series(out)
+
+    polys = (
+        polygons.withColumn("_lon_min", F.array_min("lons"))
+        .withColumn("_lon_max", F.array_max("lons"))
+        .withColumn("_lat_min", F.array_min("lats"))
+        .withColumn("_lat_max", F.array_max("lats"))
+        .withColumn("_tok", F.explode(cover_tokens("lons", "lats")))
+        .select(
+            *poly_cols, "_lon_min", "_lon_max", "_lat_min", "_lat_max", "_tok"
+        )
+    )
+    pts = points.select(
+        *point_cols,
+        F.col("lon").alias("_px"),
+        F.col("lat").alias("_py"),
+        s2_token_udf(level)(F.col("lat"), F.col("lon")).alias("_tok"),
+    )
+    cand = pts.join(polys, "_tok", "inner").filter(
+        (F.col("_px") >= F.col("_lon_min"))
+        & (F.col("_px") <= F.col("_lon_max"))
+        & (F.col("_py") >= F.col("_lat_min"))
+        & (F.col("_py") <= F.col("_lat_max"))
+    )
+    out_cols = list(point_cols) + list(poly_cols)
+    return _refine_candidates(
+        cand, points, polygons, poly_key, out_cols, True, []
+    )
 
 
 def _is_axis_rect(rx: np.ndarray, ry: np.ndarray) -> bool:

@@ -247,6 +247,25 @@ def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(imgs, rects, ("image_id",), ("rect_id", "layer"))
 
 
+@register("pip_rect_s2", _PIP_RECT_ORACLE)
+def q_pip_rect_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PIP truth through the S2-covering prefilter path (north
+    rule: covering tokens FOR layer classification) — polygons explode
+    over bbox covering tokens, points join on their level-L token,
+    shared exact refine. Value-checked against the identical interval
+    oracle as pip_rect."""
+    from osm2shp_spark.operators.spatial import pip_join_s2
+
+    imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, sf_dir).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    return pip_join_s2(imgs, rects, ("image_id",), ("rect_id", "layer"))
+
+
 _KNN_ORACLE = f"""
 WITH nodes AS ({NODES_SQL}),
 images AS ({IMAGES_SQL}),

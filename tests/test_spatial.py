@@ -106,3 +106,27 @@ def test_geometry_meta_columns(spark):
     assert df.wkb.map(len).gt(9).all()
     assert df.geom_digest.map(len).eq(40).all()
     assert (df.lon_min <= df.lon_max).all()
+
+
+def test_pip_s2_equals_flat_grid(spark):
+    """The S2-covering prefilter path must produce exactly the
+    flat-grid path's rows (same exact refine, different superset
+    prefilter)."""
+    from pyspark.sql import functions as F
+
+    from parity import canon_rows
+
+    from osm2shp_spark.operators.spatial import pip_join, pip_join_s2
+    from osm2shp_spark.sources.synthetic import synthetic_images, synthetic_rects
+    from conftest import SF_SMALL
+
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, SF_SMALL).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    a = canon_rows(pip_join(imgs, rects, ("image_id",), ("rect_id", "layer")).toPandas())
+    b = canon_rows(pip_join_s2(imgs, rects, ("image_id",), ("rect_id", "layer")).toPandas())
+    assert a == b and len(a) > 0
