@@ -601,6 +601,55 @@ def knn_join_broadcast(
 MAX_BROADCAST_FEATURES = 10_000_000
 
 
+def auto_tile_size(
+    features: DataFrame,
+    base_tile_size: float = TILE_SIZE,
+    hot_threshold: int = 50_000,
+    max_halvings: int = 4,
+) -> float:
+    """Histogram-driven tile-size choice for the candidate prefilter —
+    the adaptive-cell-splitting idea applied to the flat join grid: if
+    the densest tile exceeds ``hot_threshold`` features, halve the
+    tile size (×4 candidate reduction in the hot spot) and re-check,
+    up to ``max_halvings``. Each probe is ONE partial-aggregated
+    count on the feature table (production reads it from cell-count
+    table stats). Smaller tiles only shrink candidate sets — the kNN
+    provable-radius test adapts via rho2, so exactness never depends
+    on the choice."""
+    ts = float(base_tile_size)
+    for _ in range(max_halvings):
+        hot = (
+            with_tiles(features, tile_size=ts)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        ) or 0
+        if hot <= hot_threshold:
+            break
+        ts /= 2.0
+    return ts
+
+
+def knn_join_adaptive(
+    points: DataFrame,
+    features: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    feature_id: str = "node_id",
+    base_tile_size: float = TILE_SIZE,
+    hot_threshold: int = 50_000,
+    return_tile_size: bool = False,
+):
+    """:func:`knn_join` with the tile size chosen by
+    :func:`auto_tile_size` from the feature density histogram (dense
+    urban cells → finer prefilter grid). Bit-identical results at any
+    tile size; only the candidate economics change."""
+    ts = auto_tile_size(features, base_tile_size, hot_threshold)
+    out = knn_join(points, features, k, point_id, feature_id, ts)
+    return (out, ts) if return_tile_size else out
+
+
 def knn_join_auto(
     points: DataFrame,
     features: DataFrame,

@@ -130,3 +130,35 @@ def test_pip_s2_equals_flat_grid(spark):
     a = canon_rows(pip_join(imgs, rects, ("image_id",), ("rect_id", "layer")).toPandas())
     b = canon_rows(pip_join_s2(imgs, rects, ("image_id",), ("rect_id", "layer")).toPandas())
     assert a == b and len(a) > 0
+
+
+def test_knn_adaptive_tile_size(spark):
+    """The density histogram must drive the tile size finer under the
+    fixture's deliberate hot cluster, and the result must stay
+    bit-identical to the fixed-size path (exactness is tile-size
+    independent by the provable-radius construction)."""
+    from parity import canon_rows
+
+    from osm2shp_spark.operators.spatial import (
+        TILE_SIZE,
+        knn_join,
+        knn_join_adaptive,
+    )
+    from osm2shp_spark.sources.synthetic import synthetic_images, synthetic_nodes
+    from conftest import SF_SMALL
+
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    feats = (
+        synthetic_nodes(spark, SF_SMALL)
+        .filter("id > 0")
+        .selectExpr("id AS node_id", "lon", "lat")
+    )
+    # the nodes fixture packs ~10% of points into a 0.01x0.01 deg cell:
+    # with a tiny threshold the histogram must react
+    out, ts = knn_join_adaptive(
+        imgs, feats, k=3, hot_threshold=5, return_tile_size=True
+    )
+    assert ts < TILE_SIZE
+    assert canon_rows(out.toPandas()) == canon_rows(
+        knn_join(imgs, feats, k=3, tile_size=TILE_SIZE).toPandas()
+    )
