@@ -159,15 +159,21 @@ def assemble_ways_auto(
     ways: DataFrame,
     node_broadcast_limit: int = NODE_BROADCAST_LIMIT,
     mega_threshold: int = MEGA_WAY_THRESHOLD,
+    prefer_zero_shuffle: bool = False,
     return_strategy: bool = False,
 ) -> DataFrame:
     """Strategy selector for the flagship join — the size-estimate
     promise of the module docstring, wired into the hot path:
 
-    - staged nodes fit the broadcast budget → ``assemble_ways_mapside``
-      (zero shuffle);
     - any mega-way above ``mega_threshold`` refs → salted two-stage
       assembly (bounded reducer keys, skew-proof);
+    - ``prefer_zero_shuffle`` and staged nodes fit the broadcast
+      budget → ``assemble_ways_mapside``. Opt-in because the trade is
+      environment-dependent: on a real cluster the two shuffles cost
+      network, so eliminating them wins; on local[n] the shuffle is
+      memory-speed and the broadcast build dominates (measured sf0.1:
+      general 3.7 s vs mapside 5.9 s on this box) — so the default
+      stays the Catalyst path that AQE keeps optimizing;
     - otherwise → the pure-Catalyst general path.
 
     The two statistics cost one metadata-backed ``count`` on the node
@@ -177,17 +183,15 @@ def assemble_ways_auto(
     the pre-pass is free; here it is two cheap jobs, amortized over
     the much larger assembly).
     """
-    n_nodes = nodes.count()
-    if n_nodes <= node_broadcast_limit:
+    max_refs = ways.agg(F.max(F.size("refs"))).collect()[0][0] or 0
+    if max_refs >= mega_threshold:
+        from osm2shp_spark.operators.skew import assemble_ways_salted
+
+        choice, out = "salted", assemble_ways_salted(nodes, ways)
+    elif prefer_zero_shuffle and nodes.count() <= node_broadcast_limit:
         choice, out = "mapside", assemble_ways_mapside(nodes, ways)
     else:
-        max_refs = ways.agg(F.max(F.size("refs"))).collect()[0][0] or 0
-        if max_refs >= mega_threshold:
-            from osm2shp_spark.operators.skew import assemble_ways_salted
-
-            choice, out = "salted", assemble_ways_salted(nodes, ways)
-        else:
-            choice, out = "general", assemble_ways(nodes, ways)
+        choice, out = "general", assemble_ways(nodes, ways)
     return (out, choice) if return_strategy else out
 
 

@@ -99,16 +99,21 @@ def test_auto_strategy_selection(spark):
 
     nodes = synthetic_nodes(spark, SF_SMALL)
     ways = synthetic_ways(spark, SF_SMALL)
-    # small node table -> mapside broadcast path
+    # default: the Catalyst general path (local shuffles are
+    # memory-speed; mapside is the opt-in for network-shuffle clusters)
     df, strategy = assemble_ways_auto(nodes, ways, return_strategy=True)
+    assert strategy == "general"
+    # zero-shuffle opt-in with a small node table -> mapside
+    df, strategy = assemble_ways_auto(
+        nodes, ways, prefer_zero_shuffle=True, return_strategy=True
+    )
     assert strategy == "mapside"
     assert canon_rows(df.toPandas()) == canon_rows(
         assemble_ways(nodes, ways).toPandas()
     )
-    # forcing a tiny broadcast budget + low mega threshold -> salted
+    # mega-way threshold trips -> salted (checked first, highest risk)
     _, strategy = assemble_ways_auto(
-        nodes, ways, node_broadcast_limit=1, mega_threshold=2,
-        return_strategy=True,
+        nodes, ways, mega_threshold=2, return_strategy=True
     )
     assert strategy == "salted"
     # small feature table -> zero-shuffle broadcast kNN
