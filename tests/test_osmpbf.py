@@ -144,3 +144,43 @@ def test_cli_end_to_end_from_pbf(pbf_file, tmp_path):
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["counts"]["exported_ways"] > 0
     assert res["counts"]["exported_nodes"] > 0
+
+
+# ---------------------------------------------------------------------------
+# wire-primitive property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm2shp_spark.sources.osmpbf import (
+    _packed,
+    _packed_varints,
+    _read_varint,
+    _write_varint,
+    _zigzag,
+    _unzigzag,
+)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+@settings(max_examples=200, deadline=None)
+def test_varint_round_trip(n):
+    v, pos = _read_varint(_write_varint(n), 0)
+    assert v == n
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_zigzag_round_trip(n):
+    assert _zigzag(_unzigzag(n)) == n
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_packed_signed_round_trip(vals):
+    buf = _packed(1, vals, zig=True)
+    # strip the tag+length prefix to reach the packed body
+    fields = list(__import__("osm2shp_spark.sources.osmpbf", fromlist=["_fields"])._fields(buf))
+    assert len(fields) == 1
+    assert _packed_varints(fields[0][2], zig=True) == vals
