@@ -99,7 +99,7 @@ def decode_stats_oracle() -> str:
             "image_id": "VARCHAR", "fmt": "VARCHAR", "w": "INTEGER",
             "h": "INTEGER", "decode_ok": "BOOLEAN",
             "width_matches": "BOOLEAN", "phash_matches": "BOOLEAN",
-            "mean_px": "DOUBLE", "psnr": "DOUBLE",
+            "mean_px": "DOUBLE", "psnr": "DOUBLE", "caption": "VARCHAR",
         },
     )
 

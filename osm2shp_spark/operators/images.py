@@ -24,7 +24,8 @@ from osm2shp_spark.functions import image as I
 
 DECODE_STATS_SCHEMA = (
     "image_id STRING, fmt STRING, w INT, h INT, decode_ok BOOLEAN, "
-    "width_matches BOOLEAN, phash_matches BOOLEAN, mean_px DOUBLE, psnr DOUBLE"
+    "width_matches BOOLEAN, phash_matches BOOLEAN, mean_px DOUBLE, "
+    "psnr DOUBLE, caption STRING"
 )
 
 
@@ -55,17 +56,22 @@ def decode_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                     I.average_phash(arr) == r.phash,
                     float(arr.mean()),
                     1e9 if p == float("inf") else p,
+                    # caption rides through the decode stage so the
+                    # golden oracle value-checks the input_hint's
+                    # caption-equality invariant across Arrow both ways
+                    r.caption,
                 )
             )
         except Exception:
             out.append(
-                (r.image_id, r.fmt, r.w, r.h, False, False, False, 0.0, 0.0)
+                (r.image_id, r.fmt, r.w, r.h, False, False, False, 0.0, 0.0,
+                 r.caption)
             )
     return pd.DataFrame(
         out,
         columns=[
             "image_id", "fmt", "w", "h", "decode_ok",
-            "width_matches", "phash_matches", "mean_px", "psnr",
+            "width_matches", "phash_matches", "mean_px", "psnr", "caption",
         ],
     )
 
