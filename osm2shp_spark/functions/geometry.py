@@ -132,9 +132,17 @@ def douglas_peucker_mask(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarr
         seg_y = ys[a + 1 : b]
         dx = xs[b] - xs[a]
         dy = ys[b] - ys[a]
-        norm = np.hypot(dx, dy)
+        # sqrt(dx*dx + dy*dy), NOT np.hypot: hypot is a different
+        # (correctly-rounded two-norm) algorithm, and the DuckDB DP
+        # oracle can only express the sqrt form — identical text =
+        # identical IEEE results = identical keep decisions at the
+        # eps boundary. No overflow risk at coordinate magnitudes.
+        norm = np.sqrt(dx * dx + dy * dy)
         if norm == 0.0:
-            d = np.hypot(seg_x - xs[a], seg_y - ys[a])
+            d = np.sqrt(
+                (seg_x - xs[a]) * (seg_x - xs[a])
+                + (seg_y - ys[a]) * (seg_y - ys[a])
+            )
         else:
             d = np.abs(dy * seg_x - dx * seg_y + xs[b] * ys[a] - ys[b] * xs[a]) / norm
         imax = int(np.argmax(d))

@@ -169,6 +169,153 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Generalization (O21-O23): Douglas-Peucker + rmdupl + rmline, oracle-
+# checked by an INDEPENDENT recursive-CTE DP implementation in DuckDB
+# ---------------------------------------------------------------------------
+
+def _generalize_oracle() -> str:
+    from osm2shp_spark.operators.generalize import LAYER_THRESHOLDS
+    from osm2shp_spark.operators.spatial import dlit
+
+    eps_case = (
+        "CASE WHEN kind = 'line' THEN CASE layer "
+        + " ".join(
+            f"WHEN '{lay}' THEN {dlit(e)}"
+            for lay, e in sorted(LAYER_THRESHOLDS.items())
+        )
+        + " ELSE 0e0 END ELSE 0e0 END"
+    )
+    # the exact perpendicular-distance formula of
+    # functions/geometry.py:douglas_peucker_mask — same operator
+    # order, same sqrt form, so keep decisions agree bitwise
+    norm = (
+        "sqrt((vb.x - va.x) * (vb.x - va.x) + (vb.y - va.y) * (vb.y - va.y))"
+    )
+    dist = f"""CASE WHEN {norm} = 0e0
+        THEN sqrt((v.x - va.x) * (v.x - va.x) + (v.y - va.y) * (v.y - va.y))
+        ELSE abs((vb.y - va.y) * v.x - (vb.x - va.x) * v.y
+                 + vb.x * va.y - vb.y * va.x) / {norm} END"""
+    q6 = "CAST(floor({c} * 1e6 + 0.5e0) AS BIGINT)"
+    # the whole chain shares one WITH; RECURSIVE applies to `act` only
+    geo = _geo_ctes().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return (
+        geo
+        + f""",
+heads AS (
+    SELECT way_id, layer, kind, n_pts, {eps_case} AS eps FROM assembled
+),
+v AS (
+    SELECT way_id, generate_subscripts(lons, 1) AS pos,
+           unnest(lons) AS x, unnest(lats) AS y
+    FROM assembled
+),
+act AS (
+    SELECT way_id, 1 AS a, n_pts AS b, eps
+    FROM heads WHERE eps > 0e0 AND n_pts > 2
+    UNION ALL
+    SELECT c.way_id, u.a2 AS a, u.b2 AS b, c.eps
+    FROM (
+        SELECT w.way_id, w.a, w.b, w.eps, w.pos AS split
+        FROM (
+            SELECT dd.*, ROW_NUMBER() OVER (
+                       PARTITION BY dd.way_id, dd.a, dd.b
+                       ORDER BY dd.d DESC, dd.pos ASC
+                   ) AS rn
+            FROM (
+                SELECT s.way_id, s.a, s.b, s.eps, v.pos, {dist} AS d
+                FROM act s
+                JOIN v    ON v.way_id = s.way_id AND v.pos > s.a AND v.pos < s.b
+                JOIN v va ON va.way_id = s.way_id AND va.pos = s.a
+                JOIN v vb ON vb.way_id = s.way_id AND vb.pos = s.b
+                WHERE s.b - s.a >= 2
+            ) dd
+        ) w
+        WHERE w.rn = 1 AND w.d > w.eps
+    ) c CROSS JOIN LATERAL (VALUES (c.a, c.split), (c.split, c.b)) u(a2, b2)
+),
+kept AS (
+    SELECT way_id, a AS pos FROM act
+    UNION
+    SELECT way_id, b FROM act
+    UNION
+    SELECT v.way_id, v.pos
+    FROM v JOIN heads h USING (way_id)
+    WHERE h.eps = 0e0 OR h.n_pts <= 2
+),
+seq AS (
+    SELECT k.way_id, v.pos, v.x, v.y,
+           lag(v.x) OVER w AS px, lag(v.y) OVER w AS py
+    FROM kept k JOIN v USING (way_id, pos)
+    WINDOW w AS (PARTITION BY k.way_id ORDER BY v.pos)
+),
+ded AS (
+    SELECT way_id, pos, x, y,
+           ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS i,
+           COUNT(*) OVER (PARTITION BY way_id) AS n2
+    FROM seq WHERE px IS NULL OR x <> px OR y <> py
+),
+agg AS (
+    SELECT way_id,
+           CAST(max(n2) AS INTEGER) AS n_pts,
+           max(CASE WHEN i = 1 THEN x END) AS first_lon,
+           max(CASE WHEN i = 1 THEN y END) AS first_lat,
+           max(CASE WHEN i = n2 THEN x END) AS last_lon,
+           max(CASE WHEN i = n2 THEN y END) AS last_lat,
+           CAST(sum({q6.format(c='x')}) AS BIGINT) AS lon_qsum,
+           CAST(sum({q6.format(c='y')}) AS BIGINT) AS lat_qsum,
+           CAST(sum(i * {q6.format(c='x')}) AS BIGINT) AS lon_qwsum,
+           CAST(sum(i * {q6.format(c='y')}) AS BIGINT) AS lat_qwsum
+    FROM ded GROUP BY way_id
+)
+SELECT a.way_id, h.layer, h.kind, a.n_pts,
+       a.first_lon, a.first_lat, a.last_lon, a.last_lat,
+       a.lon_qsum, a.lat_qsum, a.lon_qwsum, a.lat_qwsum
+FROM agg a JOIN heads h USING (way_id)
+WHERE NOT (h.kind = 'line' AND a.n_pts < 2)
+"""
+    )
+
+
+@register("generalize_dp", _generalize_oracle)
+def q_generalize_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21-O23 generalization, value-checked: the engine's per-way
+    NumPy DP kernel + rmdupl + rmline vs an INDEPENDENT recursive-CTE
+    Douglas-Peucker in DuckDB (same perpendicular-distance formula ⇒
+    bitwise-identical keep decisions; everything else — recursion
+    strategy, dedup, aggregation — is a fully separate implementation).
+    Output carries the same scalar coordinate digests as way_assembly
+    (positions renumbered post-dedup)."""
+    from osm2shp_spark.operators.generalize import generalize_ways
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    ways = synthetic_ways(spark, sf_dir)
+    gen = generalize_ways(assemble_ways(nodes, ways))
+    qsum = lambda c: (  # noqa: E731
+        f"aggregate(transform({c}, x -> {_q6i('x')}), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    qwsum = lambda c: (  # noqa: E731
+        f"aggregate(zip_with({c}, sequence(1, size({c})), "
+        f"(x, i) -> CAST(i AS BIGINT) * {_q6i('x')}), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return gen.select(
+        "way_id",
+        "layer",
+        "kind",
+        "n_pts",
+        F.element_at("lons", 1).alias("first_lon"),
+        F.element_at("lats", 1).alias("first_lat"),
+        F.element_at("lons", -1).alias("last_lon"),
+        F.element_at("lats", -1).alias("last_lat"),
+        F.expr(qsum("lons")).alias("lon_qsum"),
+        F.expr(qsum("lats")).alias("lat_qsum"),
+        F.expr(qwsum("lons")).alias("lon_qwsum"),
+        F.expr(qwsum("lats")).alias("lat_qwsum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Node export (O3, O6, O8, O14)
 # ---------------------------------------------------------------------------
 
