@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 POLYLINE_SCHEMA = (
-    "layer STRING, polyline_id BIGINT, n_segments INT, n_pts INT, "
+    "layer STRING, polyline_id BIGINT, polyline_key BIGINT, "
+    "n_segments INT, n_pts INT, "
     "lons ARRAY<DOUBLE>, lats ARRAY<DOUBLE>"
 )
 
@@ -60,6 +61,7 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         chain_x = list(xs)
         chain_y = list(ys)
         n_seg = 1
+        members = [int(segs[start][2])]
         # extend forward then backward
         for direction in (1, 0):
             while True:
@@ -77,7 +79,18 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 sx, sy, _ = segs[si]
                 used[si] = True
                 n_seg += 1
-                if end == 1:  # joins with its tail → reverse
+                members.append(int(segs[si][2]))
+                # orientation depends on which chain end we extend:
+                # appending at the tail needs the joining vertex FIRST
+                # (reverse when the segment's tail is at pt); prepending
+                # at the head needs it LAST (reverse when its HEAD is at
+                # pt). Round-1 applied the forward rule to both, which
+                # flipped backward-joined segments, made the chain head
+                # an interior vertex, and silently truncated backward
+                # extension — caught by the independent SQL
+                # connected-components oracle.
+                flip = (end == 1) if direction else (end == 0)
+                if flip:
                     sx, sy = sx[::-1], sy[::-1]
                 if direction:
                     chain_x.extend(sx[1:])
@@ -89,6 +102,10 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
             (
                 layer,
                 int(segs[start][2]),  # id of the seed segment
+                # canonical id: the smallest member way_id — walk-order
+                # independent, so it is what the SQL oracle (connected
+                # components by min-label propagation) can recompute
+                min(members),
                 n_seg,
                 len(chain_x),
                 chain_x,
@@ -97,7 +114,10 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     return pd.DataFrame(
         rows,
-        columns=["layer", "polyline_id", "n_segments", "n_pts", "lons", "lats"],
+        columns=[
+            "layer", "polyline_id", "polyline_key", "n_segments", "n_pts",
+            "lons", "lats",
+        ],
     )
 
 

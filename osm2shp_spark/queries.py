@@ -315,6 +315,72 @@ def q_generalize_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polylines_oracle() -> str:
+    """Independent polyline recomputation: the walk's PARTITION of
+    segments into maximal polylines equals connected components of the
+    'shares a degree-2 endpoint' graph — recomputed here by recursive
+    min-label propagation (a completely different algorithm from the
+    engine's union-find walk)."""
+    geo = _geo_ctes().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return (
+        geo
+        + """,
+lines AS (
+    SELECT way_id, layer, n_pts,
+           lons[1] AS x0, lats[1] AS y0, lons[-1] AS x1, lats[-1] AS y1
+    FROM assembled WHERE kind = 'line'
+),
+ends AS (
+    SELECT way_id, layer, x0 AS ex, y0 AS ey FROM lines
+    UNION ALL
+    SELECT way_id, layer, x1, y1 FROM lines
+),
+deg AS (
+    SELECT layer, ex, ey, count(*) AS d FROM ends GROUP BY layer, ex, ey
+),
+adj AS (
+    SELECT a.way_id AS a, b.way_id AS b
+    FROM ends a
+    JOIN ends b ON a.layer = b.layer AND a.ex = b.ex AND a.ey = b.ey
+               AND a.way_id <> b.way_id
+    JOIN deg d ON d.layer = a.layer AND d.ex = a.ex AND d.ey = a.ey
+    WHERE d.d = 2
+),
+comp AS (
+    SELECT way_id, way_id AS lbl FROM lines
+    UNION
+    SELECT adj.a AS way_id, comp.lbl
+    FROM adj JOIN comp ON comp.way_id = adj.b
+    WHERE comp.lbl < adj.a
+),
+lbl AS (SELECT way_id, min(lbl) AS polyline_key FROM comp GROUP BY way_id)
+SELECT l.layer, lb.polyline_key,
+       CAST(count(*) AS INTEGER) AS n_segments,
+       CAST(CAST(sum(l.n_pts) AS BIGINT) - (count(*) - 1) AS INTEGER)
+           AS n_pts
+FROM lines l JOIN lbl lb USING (way_id)
+GROUP BY l.layer, lb.polyline_key
+"""
+    )
+
+
+@register("polylines", _polylines_oracle)
+def q_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 polyline building (v.build.polylines), value-checked: the
+    engine's per-layer union-find walk vs an independent recursive
+    min-label connected-components recomputation in DuckDB. Canonical
+    projection: (layer, polyline_key=min member way_id, n_segments,
+    n_pts); chain length is sum(segment points) - (n_segments - 1)
+    because every join dedupes exactly one shared vertex."""
+    from osm2shp_spark.operators.polylines import build_polylines
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    ways = synthetic_ways(spark, sf_dir)
+    return build_polylines(assemble_ways(nodes, ways)).select(
+        "layer", "polyline_key", "n_segments", "n_pts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Node export (O3, O6, O8, O14)
 # ---------------------------------------------------------------------------
