@@ -168,6 +168,39 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("resumable_node_export", lambda: _NODE_EXPORT_ORACLE)
+def q_resumable_node_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O19 resumability, value-checked in the gate: the node
+    export runs through ``run_stage_resumable`` in two sessions — the
+    first sees only a partition subset (a simulated crash mid-job),
+    the second sees the full input and the manifest anti-join must
+    process EXACTLY the missing partitions. The returned table is the
+    union the two runs appended; the oracle is the plain one-shot SQL
+    — any duplicate or gap from the resume logic breaks the value
+    hash."""
+    import tempfile as _tf
+
+    from osm2shp_spark.operators.classify import classify_nodes
+    from osm2shp_spark.plans.manifest import run_stage_resumable
+
+    classified = classify_nodes(synthetic_nodes(spark, sf_dir)).withColumn(
+        "part_key", F.xxhash64("layer")
+    )
+    work = _tf.mkdtemp(prefix="resume_gate_")
+    out_dir = f"{work}/out"
+    man_dir = f"{work}/manifest"
+    first = classified.filter(F.col("part_key") % 2 == 0)
+    run_stage_resumable(
+        spark, first, "node_export", "part_key", lambda df: df, out_dir, man_dir
+    )
+    run_stage_resumable(
+        spark, classified, "node_export", "part_key", lambda df: df, out_dir, man_dir
+    )
+    return spark.read.parquet(out_dir).select(
+        "node_id", "layer", "name", "lon", "lat"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generalization (O21-O23): Douglas-Peucker + rmdupl + rmline, oracle-
 # checked by an INDEPENDENT recursive-CTE DP implementation in DuckDB
