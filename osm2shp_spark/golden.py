@@ -179,6 +179,46 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 """
 
 
+def point_cells_oracle(images_sql: str, sample_mod: int = 40) -> str:
+    """Golden oracle for the N1/N2 point cell family: lon/lat are
+    SQL-derivable (the synthetic images table), so DuckDB recomputes
+    the coordinates itself and joins the injected expected cell ids —
+    which the generator computes driver-side with the same NumPy
+    kernels the executors run (`functions.hexgrid` / `functions.s2`).
+    Verifies the distributed assignment (Arrow struct family, row
+    routing) bit-for-bit; kernel math itself is property-pytest
+    territory. Pinned to the gate's sf0.01 tables like every golden."""
+    import duckdb
+
+    from osm2shp_spark.functions import hexgrid, s2
+
+    con = duckdb.connect()
+    for t in ("orders",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.01/{t}.parquet'"
+        )
+    pts = con.execute(
+        f"SELECT img_key, lon, lat FROM ({images_sql}) i "
+        f"WHERE img_key % {sample_mod} = 0"
+    ).df()
+    lon = pts["lon"].to_numpy()
+    lat = pts["lat"].to_numpy()
+    ids = s2.cell_id(lat, lon, 12)
+    exp = pd.DataFrame(
+        {
+            "img_key": pts["img_key"].astype("int64"),
+            "s2_cell": ids.astype("int64"),
+            "s2_token": s2.token(ids),
+        }
+    )
+    casts = {"img_key": "BIGINT", "s2_cell": "BIGINT", "s2_token": "VARCHAR"}
+    for r in (7, 8, 9, 10, 11, 12):
+        exp[f"hex_r{r}"] = hexgrid.hex_cell(lon, lat, r)
+        casts[f"hex_r{r}"] = "BIGINT"
+    return values_sql(exp, casts)
+
+
 def image_pip_oracle(rects_sql: str) -> str:
     """Interval-algebra PIP truth in DuckDB over injected point
     coordinates — independently re-derives the containment set the

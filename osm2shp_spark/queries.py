@@ -1008,6 +1008,22 @@ def q_video_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_video_frame_sample(spark, sf_dir).select("video_id", "frame_idx")
 
 
+@register("point_cells", lambda: golden.point_cells_oracle(IMAGES_SQL))
+def q_point_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 cell-index family over georeferenced points, value-checked
+    (golden mode — see golden.point_cells_oracle): S2 cell id + token
+    at level 12 and hex cells res 7-12, one Arrow struct pass."""
+    from osm2shp_spark.functions.udfs import with_point_cells
+
+    pts = synthetic_images(spark, sf_dir).filter("img_key % 40 = 0").select(
+        "img_key", "lon", "lat"
+    )
+    return with_point_cells(pts).select(
+        "img_key", "s2_cell", "s2_token",
+        *[f"hex_r{r}" for r in (7, 8, 9, 10, 11, 12)],
+    )
+
+
 @register("image_pip_classify", lambda: golden.image_pip_oracle(RECTS_SQL))
 def q_image_pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star loop: georeferenced binary images classified by
