@@ -426,8 +426,9 @@ def minhash_near_dups_fast(
     text_col: str = "text",
 ) -> DataFrame:
     """Arrow-UDF MinHash variant (crc32 shingles + vectorized
-    (a*x+b) mod p family): one hash pass per shingle instead of 64 md5
-    calls — the throughput choice when DuckDB parity isn't required.
+    (a*x+b) mod p family): crc32 is cheaper than the portable path's
+    md5, and the whole signature computes in one NumPy broadcast —
+    the raw-throughput twin when DuckDB parity isn't required.
 
     Note on the hash family: a*x can exceed 2^64, so the product wraps
     mod 2^64 *before* the mod-p reduction — the family is a
