@@ -397,6 +397,36 @@ GROUP BY l.layer, lb.polyline_key
     )
 
 
+_GEOM_DEDUP_ORACLE_TAIL = """
+SELECT a.way_id, a.layer, a.kind, a.n_pts
+FROM assembled a
+JOIN (
+    SELECT kind, lons, lats, min(way_id) AS way_id
+    FROM assembled GROUP BY kind, lons, lats
+) k ON a.way_id = k.way_id
+"""
+
+
+def _geom_dedup_oracle() -> str:
+    return _geo_ctes() + _GEOM_DEDUP_ORACLE_TAIL
+
+
+@register("geom_dedup", _geom_dedup_oracle)
+def q_geom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level duplicate-geometry removal (v.clean rmdupl at
+    table scope), value-checked: the engine keys on a sha1 WKB digest
+    (16-byte shuffle keys, never coordinates); the oracle groups by
+    the raw (kind, lons, lats) — identical equivalence classes unless
+    sha1 collides, so the value hash IS the collision check."""
+    from osm2shp_spark.operators.generalize import dedup_geometries
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    ways = synthetic_ways(spark, sf_dir)
+    return dedup_geometries(assemble_ways(nodes, ways)).select(
+        "way_id", "layer", "kind", "n_pts"
+    )
+
+
 @register("polylines", _polylines_oracle)
 def q_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 polyline building (v.build.polylines), value-checked: the
