@@ -20,6 +20,7 @@ _SF_PINNED = {
     "image_resize",
     "audio_features",
     "image_pip_classify",
+    "point_cells",
 }
 
 
