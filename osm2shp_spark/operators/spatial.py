@@ -376,12 +376,23 @@ def knn_join(
     the guaranteed-covered radius (one full tile ring in the scaled
     metric); the remainder falls back to a broadcast full search.
     """
-    feats = with_tiles(features, tile_size=tile_size).select(
-        F.col(feature_id).alias("_fid"),
-        F.col("lon").alias("_flon"),
-        F.col("lat").alias("_flat"),
-        "tile_x",
-        "tile_y",
+    # the ±1-tile neighborhood explode rides the FEATURE side: a
+    # feature in tile t is a candidate for points in t's 3x3 ring ⟺
+    # a point in tile p sees features from p's 3x3 ring — the same
+    # candidate set either way, but the dimension table is the small
+    # side, so the 9x row fan-out (and the shuffle it feeds) stays off
+    # the big point table
+    feats = (
+        with_tiles(features, tile_size=tile_size)
+        .withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            F.col(feature_id).alias("_fid"),
+            F.col("lon").alias("_flon"),
+            F.col("lat").alias("_flat"),
+            (F.col("tile_x") + F.col("_dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("_dy")).alias("tile_y"),
+        )
     )
     pts = with_tiles(points, tile_size=tile_size).select(
         F.col(point_id).alias("_pid"),
@@ -390,19 +401,8 @@ def knn_join(
         "tile_x",
         "tile_y",
     )
-    neigh = (
-        pts.withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
-        .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
-        .select(
-            "_pid",
-            "_plon",
-            "_plat",
-            (F.col("tile_x") + F.col("_dx")).alias("tile_x"),
-            (F.col("tile_y") + F.col("_dy")).alias("tile_y"),
-        )
-    )
     d2 = dist2_expr("_plon", "_plat", "_flon", "_flat")
-    cand = neigh.join(feats, ["tile_x", "tile_y"], "inner").select(
+    cand = pts.join(feats, ["tile_x", "tile_y"], "inner").select(
         "_pid", "_plon", "_plat", "_fid", F.expr(d2).alias("dist2")
     )
     from pyspark.sql import Window
