@@ -146,6 +146,126 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# DCX — lossy DCT codec (JPEG-style transform coding, from the public math)
+# ---------------------------------------------------------------------------
+# The sandbox has no libjpeg, so the LOSSY slot is filled with a
+# from-scratch transform codec built on exactly the published JPEG
+# signal path (ITU-T T.81): RGB→YCbCr (BT.601 full-range), level
+# shift, 8×8 DCT-II per block, quantization by the Annex-K example
+# tables scaled with the public IJG quality curve, then int16
+# coefficients zlib-entropy-coded (stdlib) instead of Huffman — the
+# *loss* (what PSNR measures) is identical in kind to baseline JPEG's;
+# only the lossless entropy stage differs. Everything is vectorized
+# NumPy: one einsum transforms every block of the image at once.
+
+#: orthonormal 8×8 DCT-II matrix: coefs = C @ block @ C.T
+_DCT_C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) * 0.5
+_DCT_C[0, :] *= 1.0 / np.sqrt(2.0)
+
+#: ITU-T T.81 Annex K example quantization tables (public spec)
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+_DCX_MAGIC = b"DCX1"
+#: default quality: the synthetic fixtures carry σ=12 per-pixel noise
+#: (nearly incompressible), so the quality floor that keeps first-
+#: generation PSNR ≥ 40 dB on every fixture is high (97 → 40.2 dB
+#: worst; 98 → 43.8 dB worst). Real photographs compress far better
+#: at the same setting.
+DCX_DEFAULT_QUALITY = 98
+
+
+def _dcx_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality→scale curve (public libjpeg formula)."""
+    q = max(1, min(100, int(quality)))
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    def scale(t: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((t * s + 50.0) / 100.0), 1.0, 255.0)
+    return scale(_Q_LUMA), scale(_Q_CHROMA)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 → (n_blocks, 8, 8), row-major."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def encode_dcx(arr: np.ndarray, quality: int = DCX_DEFAULT_QUALITY) -> bytes:
+    """Encode RGB8 → DCX (lossy). All blocks of all three planes go
+    through one vectorized DCT einsum each — no per-pixel Python."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+    # BT.601 full-range (the JPEG YCbCr definition)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    ph, pw = -h % 8, -w % 8
+    ql, qc = _dcx_qtables(quality)
+    planes = []
+    for plane, qt in ((y, ql), (cb, qc), (cr, qc)):
+        padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
+        blocks = _to_blocks(padded)
+        coefs = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C, optimize=True)
+        qz = np.round(coefs / qt).astype(np.int16)
+        planes.append(qz.tobytes())
+    header = _DCX_MAGIC + struct.pack(">HHB", w, h, max(1, min(100, int(quality))))
+    return header + zlib.compress(b"".join(planes), 6)
+
+
+def decode_dcx(data: bytes) -> np.ndarray:
+    if not data.startswith(_DCX_MAGIC):
+        raise ValueError("not a DCX stream")
+    w, h, quality = struct.unpack(">HHB", data[4:9])
+    hp, wp = h + (-h % 8), w + (-w % 8)
+    n = (hp // 8) * (wp // 8) * 64
+    raw = np.frombuffer(zlib.decompress(data[9:]), dtype=np.int16)
+    ql, qc = _dcx_qtables(quality)
+    outs = []
+    for i, qt in enumerate((ql, qc, qc)):
+        qz = raw[i * n : (i + 1) * n].reshape(-1, 8, 8).astype(np.float64)
+        blocks = np.einsum("ji,njk,kl->nil", _DCT_C, qz * qt, _DCT_C, optimize=True)
+        outs.append(_from_blocks(blocks, hp, wp)[:h, :w] + 128.0)
+    y, cb, cr = outs
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -153,15 +273,21 @@ def decode_png(data: bytes) -> np.ndarray:
 #: round-trip PSNR is infinite by construction, no need to measure it
 LOSSLESS_FMTS = frozenset({"ppm", "png"})
 
+#: lossy formats — the input_hint's PSNR ≥ 40 dB invariant applies
+LOSSY_FMTS = frozenset({"dcx"})
+
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "ppm":
         return encode_ppm(arr)
     if fmt == "png":
         return encode_png(arr)
+    if fmt == "dcx":
+        return encode_dcx(arr)
     raise NotImplementedError(
-        f"format {fmt!r}: decoder libraries absent in this environment; "
-        "plug a codec in here (jpeg slot reserved — PSNR>=40dB gate applies)"
+        f"format {fmt!r}: decoder libraries absent in this environment "
+        "(jpeg/webp would slot in here; the dcx transform codec covers "
+        "the lossy path + PSNR>=40dB gate)"
     )
 
 
@@ -170,6 +296,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "dcx":
+        return decode_dcx(data)
     raise NotImplementedError(f"format {fmt!r} not available in-sandbox")
 
 

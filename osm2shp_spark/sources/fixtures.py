@@ -52,8 +52,13 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
     for i in range(n):
         arr = make_image(i)
         h, w, _ = arr.shape
-        fmt = "ppm" if i % 2 == 0 else "png"
+        fmt = ("ppm", "png", "dcx")[i % 3]
         data = I.encode_image(arr, fmt)
+        if fmt in I.LOSSY_FMTS:
+            # the stored per-row invariants (phash, and what decode
+            # must reproduce) are defined on the DECODED pixels — the
+            # only pixels any consumer of the bytes can ever see
+            arr = I.decode_image(data, fmt)
         rng = np.random.default_rng(SEED * 7 + i)
         caption = (
             f"{_ADJ[i % len(_ADJ)]} {_NOUN[(i * 3) % len(_NOUN)]} near "

@@ -67,6 +67,44 @@ class TestCodecs:
         with pytest.raises(NotImplementedError):
             I.encode_image(make_image(0), "jpeg")
 
+    def test_dcx_psnr_gate(self):
+        """Lossy DCT codec must clear the input_hint's PSNR >= 40 dB
+        bar on every fixture image (noisy gradients — worst case for a
+        transform codec)."""
+        for i in range(24):
+            arr = make_image(i)
+            rt = I.decode_dcx(I.encode_dcx(arr))
+            assert rt.shape == arr.shape
+            assert I.psnr(arr, rt) >= 40.0, f"image {i}"
+
+    def test_dcx_deterministic(self):
+        arr = make_image(7)
+        assert I.encode_dcx(arr) == I.encode_dcx(arr.copy())
+
+    def test_dcx_odd_dimensions(self):
+        """Non-multiple-of-8 sizes exercise the edge padding path."""
+        rng = np.random.default_rng(9)
+        for h, w in ((9, 13), (8, 17), (31, 8), (1, 1), (16, 16)):
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rt = I.decode_dcx(I.encode_dcx(arr))
+            assert rt.shape == (h, w, 3)
+
+    def test_dcx_smooth_image_near_lossless(self):
+        """A pure gradient (no noise) has all its energy in a few DCT
+        coefficients — PSNR should be far above the gate."""
+        yy, xx = np.mgrid[0:48, 0:64]
+        arr = np.stack(
+            [np.clip(64 + xx + yy, 0, 255)] * 3, axis=2
+        ).astype(np.uint8)
+        assert I.psnr(arr, I.decode_dcx(I.encode_dcx(arr))) >= 50.0
+
+    def test_dcx_second_generation_stable(self):
+        """decode→re-encode→decode (what decode_stats measures) must
+        also clear 40 dB — fixtures store generation-1 bytes."""
+        g1 = I.decode_dcx(I.encode_dcx(make_image(5)))
+        g2 = I.decode_dcx(I.encode_dcx(g1))
+        assert I.psnr(g1, g2) >= 40.0
+
 
 class TestPhash:
     def test_stable(self):
