@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# fixed deterministic MinHash family: (a*x + b) mod p (Carter-Wegman)
+# fixed deterministic MinHash family: (a*x + b) mod p, evaluated in
+# uint64 (a*x wraps mod 2^64 first — a deterministic mix, not exact
+# Carter-Wegman; see minhash_near_dups docstring)
 _MERSENNE_P = (1 << 61) - 1
 _NUM_HASHES = 64
 _BANDS = 16  # 16 bands x 4 rows → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -92,9 +94,12 @@ def simhash_udf():
                 np.int32
             )
             acc = (2 * bits - 1).sum(axis=0)
-            h = np.uint64(0)
-            for bpos in np.flatnonzero(acc > 0):
-                h |= np.uint64(1) << np.uint64(bpos)
+            pos = np.flatnonzero(acc > 0).astype(np.uint64)
+            h = (
+                np.bitwise_or.reduce(np.uint64(1) << pos)
+                if pos.size
+                else np.uint64(0)
+            )
             out[i] = np.int64(h.astype(np.int64))
         return pd.Series(out)
 

@@ -621,6 +621,47 @@ def q_tile_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order spatial layout (scan-pruning data layout; functions/zorder.py)
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from osm2shp_spark.functions.zorder import zkey_sql
+
+    return f"""
+WITH nodes AS ({NODES_SQL}),
+staged AS (SELECT id, lon, lat FROM nodes WHERE id > 0),
+keyed AS (
+    SELECT id AS node_id, lon, lat, {zkey_sql('lon', 'lat')} AS zkey
+    FROM staged
+)
+SELECT node_id, zkey, CAST(zkey >> 16 AS BIGINT) AS zcell8 FROM keyed
+"""
+
+
+@register("spatial_zorder", _zorder_oracle)
+def q_spatial_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key per staged node — the value core of the Z-order data
+    layout (`functions/zorder.py`): quantize lon/lat to a 16-bit grid,
+    magic-number bit-interleave entirely in Catalyst (shift/and/or,
+    whole-stage codegen), checked bit-for-bit against the DuckDB
+    arithmetic twin. `zcell8` is the level-8 quadtree prefix a bbox
+    reader prunes on. The writer/reader pair (repartitionByRange +
+    sorted parquet + PushedFilters bbox read) is pytest-gated in
+    tests/test_zorder.py."""
+    from osm2shp_spark.functions.zorder import zkey_col
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    return (
+        nodes.filter(F.col("id") > 0)
+        .select(
+            F.col("id").alias("node_id"),
+            zkey_col(F.col("lon"), F.col("lat")).alias("zkey"),
+        )
+        .withColumn("zcell8", F.shiftrightunsigned("zkey", 16).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: dedup / text / similarity
 # ---------------------------------------------------------------------------
 
