@@ -268,13 +268,22 @@ def scaling_worker(cores: int, sf_dir: str) -> dict:
     stages = _scaling_stages(spark, sf_dir)
     out = {"stages": {}, "rows": 0, "sec": 0.0}
     for name, fn, n in stages:
+        t0 = time.time()
         fn()  # untimed warmup round: JVM JIT + python worker pools
+        print(
+            f"[worker {cores}] {name} warmup {time.time() - t0:.1f}s",
+            file=sys.stderr, flush=True,
+        )
         best = None
         for _ in range(3):  # steady-state: min-of-3
             t0 = time.time()
             fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        print(
+            f"[worker {cores}] {name} best {best:.1f}s",
+            file=sys.stderr, flush=True,
+        )
         out["stages"][name] = round(best, 2)
         out["sec"] += best
         out["rows"] += n
@@ -303,13 +312,22 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, attempts: int = 2) ->
                 # run can't opportunistically borrow idle cores — the
                 # comparison is a true fixed-width measurement
                 cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
-            proc = subprocess.run(
-                cmd,
-                capture_output=True,
-                text=True,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-                timeout=1800,
-            )
+            try:
+                proc = subprocess.run(
+                    cmd,
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                    timeout=1800,
+                )
+            except subprocess.TimeoutExpired:
+                # a co-tenant noise spike can stall one pinned attempt
+                # for minutes; drop it and keep the other attempts
+                print(
+                    f"[scaling] {cores}-core attempt timed out; skipping",
+                    file=sys.stderr, flush=True,
+                )
+                continue
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             w = json.loads(line)
             for name, sec in w["stages"].items():

@@ -156,7 +156,8 @@ def decode_png(data: bytes) -> np.ndarray:
 # coefficients zlib-entropy-coded (stdlib) instead of Huffman — the
 # *loss* (what PSNR measures) is identical in kind to baseline JPEG's;
 # only the lossless entropy stage differs. Everything is vectorized
-# NumPy: one einsum transforms every block of the image at once.
+# NumPy: one broadcasted matmul transforms every block of the image at
+# once.
 
 #: orthonormal 8×8 DCT-II matrix: coefs = C @ block @ C.T
 _DCT_C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) * 0.5
@@ -224,7 +225,7 @@ def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def encode_dcx(arr: np.ndarray, quality: int = DCX_DEFAULT_QUALITY) -> bytes:
     """Encode RGB8 → DCX (lossy). All blocks of all three planes go
-    through one vectorized DCT einsum each — no per-pixel Python."""
+    through one broadcasted DCT matmul each — no per-pixel Python."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
     r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
@@ -238,7 +239,8 @@ def encode_dcx(arr: np.ndarray, quality: int = DCX_DEFAULT_QUALITY) -> bytes:
     for plane, qt in ((y, ql), (cb, qc), (cr, qc)):
         padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
         blocks = _to_blocks(padded)
-        coefs = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C, optimize=True)
+        # C @ block @ C.T for every block at once (broadcasted matmul)
+        coefs = _DCT_C[None] @ blocks @ _DCT_C.T[None]
         qz = np.round(coefs / qt).astype(np.int16)
         planes.append(qz.tobytes())
     header = _DCX_MAGIC + struct.pack(">HHB", w, h, max(1, min(100, int(quality))))
@@ -256,7 +258,7 @@ def decode_dcx(data: bytes) -> np.ndarray:
     outs = []
     for i, qt in enumerate((ql, qc, qc)):
         qz = raw[i * n : (i + 1) * n].reshape(-1, 8, 8).astype(np.float64)
-        blocks = np.einsum("ji,njk,kl->nil", _DCT_C, qz * qt, _DCT_C, optimize=True)
+        blocks = _DCT_C.T[None] @ (qz * qt) @ _DCT_C[None]
         outs.append(_from_blocks(blocks, hp, wp)[:h, :w] + 128.0)
     y, cb, cr = outs
     r = y + 1.402 * (cr - 128.0)

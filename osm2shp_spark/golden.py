@@ -219,6 +219,35 @@ def point_cells_oracle(images_sql: str, sample_mod: int = 40) -> str:
     return values_sql(exp, casts)
 
 
+def multimodal_pairs_oracle() -> str:
+    """(image, caption) training-pair curation, recomputed
+    independently: captions + phashes are injected as literals, then
+    DuckDB re-derives language ID (the text-op oracle twin), BPE-ish
+    token counts, and the per-phash canonical choice with its own
+    window function — everything the engine's single-shuffle plan
+    computes distributively."""
+    from osm2shp_spark.operators.text import BPE_PATTERN, lang_id_oracle
+
+    pdf = _images_pdf(GATE_N_IMAGES)[["image_id", "caption", "phash"]]
+    vals = values_sql(
+        pdf, {"image_id": "VARCHAR", "caption": "VARCHAR", "phash": "BIGINT"}
+    )
+    lang_sql = lang_id_oracle(
+        "SELECT image_id AS doc_id, caption AS text FROM imgs"
+    )
+    return f"""
+WITH imgs AS ({vals}),
+lang AS ({lang_sql})
+SELECT i.image_id,
+       l.pred_lang,
+       CAST(len(regexp_extract_all(i.caption, '{BPE_PATTERN}')) AS INTEGER)
+           AS n_bpe_tokens,
+       i.image_id = min(i.image_id) OVER (PARTITION BY i.phash)
+           AS is_canonical
+FROM imgs i JOIN lang l ON l.doc_id = i.image_id
+"""
+
+
 def image_pip_oracle(rects_sql: str) -> str:
     """Interval-algebra PIP truth in DuckDB over injected point
     coordinates — independently re-derives the containment set the

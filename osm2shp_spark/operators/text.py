@@ -83,20 +83,28 @@ def _lang_score(toks, lang: str):
     return F.size(F.array_intersect(toks, words))
 
 
+def lang_pred_cols(text_col: str = "text"):
+    """(pred_lang, best_score) column pair over ``text_col`` — the
+    reusable expression form of :func:`lang_id` (argmax stopword
+    overlap, alphabetical tie-break, 'und' when all scores are 0).
+    Catalyst CSEs the repeated score subexpressions."""
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lg: _lang_score(toks, lg) for lg in langs}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # alphabetical order = deterministic tie-break
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+    return pred, best
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-overlap language ID: argmax score, alphabetical
     tie-break, 'und' (undetermined) when all scores are 0."""
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
-    scored = docs.select(
-        "doc_id",
-        *[_lang_score(toks, lg).alias(f"score_{lg}") for lg in sorted(LANG_STOPWORDS)],
+    pred, best = lang_pred_cols("text")
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("best_score")
     )
-    langs = sorted(LANG_STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    pred = F.when(best == 0, F.lit("und"))
-    for lg in langs:  # alphabetical order = deterministic tie-break
-        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
-    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("best_score"))
 
 
 def lang_id_oracle(docs_sql: str) -> str:

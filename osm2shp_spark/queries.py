@@ -760,6 +760,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def _stratified_sample_oracle() -> str:
+    from osm2shp_spark.operators.sampling import stratified_sample_oracle
+
+    return f"""
+SELECT doc_id, lang, source, bucket, split
+FROM ({stratified_sample_oracle(DOCS_PLAIN_SQL)}) s
+"""
+
+
+@register("stratified_sample", _stratified_sample_oracle)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling + 8/1/1 split
+    (`operators/sampling.py`): membership is a pure function of
+    doc_id, so the plan is a zero-shuffle map-filter that reruns
+    idempotently at any scale — checked row-for-row against the same
+    arithmetic in DuckDB."""
+    from osm2shp_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "bucket", "split"
+    )
+
+
 @register("quality_score", quality_score_oracle(DOCS_PLAIN_SQL))
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
@@ -981,6 +1004,19 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(image_table(spark, images_count_for_sf(sf_dir)))
 
 
+@register("image_stream_decode", golden.decode_stats_oracle)
+def q_image_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same decode-verify operator driven as a Structured Stream
+    (parquet landing zone → stateless mapInPandas → availableNow):
+    batch/stream parity means the stream result must satisfy the
+    identical golden oracle as `image_decode_stats`."""
+    from osm2shp_spark.streaming.images import stream_decode_stats
+
+    return stream_decode_stats(
+        spark, images_count_for_sf(sf_dir), name="q_img_stream_out"
+    )
+
+
 @register("image_features", golden.image_features_oracle)
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual features; the 4x4 thumbnail rides flattened to 16 scalar
@@ -1006,6 +1042,32 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs hamming recomputation (the banding recall
     guarantee makes banded == brute force at <= max_hamming)."""
     return phash_near_dups(image_table(spark, images_count_for_sf(sf_dir)), max_hamming=6)
+
+
+@register("multimodal_pairs", golden.multimodal_pairs_oracle)
+def q_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image, caption) training-pair curation over the multimodal
+    fixture table: language-ID + BPE-ish token count on the caption,
+    per-phash canonical election for visual dedup — one window shuffle
+    plus pure map expressions, no codecs touched (bytes never leave the
+    scan). Oracle recomputes lang/tokens/canonical independently in
+    DuckDB over injected caption+phash literals."""
+    from pyspark.sql import Window
+
+    from osm2shp_spark.operators.text import BPE_PATTERN, lang_pred_cols
+
+    imgs = image_table(spark, images_count_for_sf(sf_dir)).select(
+        "image_id", F.col("caption").alias("text"), "phash"
+    )
+    pred, _best = lang_pred_cols("text")
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    w = Window.partitionBy("phash")
+    return imgs.select(
+        "image_id",
+        pred.alias("pred_lang"),
+        bpe.alias("n_bpe_tokens"),
+        (F.col("image_id") == F.min("image_id").over(w)).alias("is_canonical"),
+    )
 
 
 @register("image_resize", golden.image_resize_oracle)

@@ -30,3 +30,23 @@ def test_sessionize_invariants(spark):
     g = df.groupby("user_id").session_id
     assert (g.min() == 1).all()
     assert (g.max() == g.count()).all()
+
+
+def test_stream_decode_equals_batch(spark):
+    """Streaming image decode (availableNow) must equal the batch
+    operator row-for-row — including the lossy dcx third."""
+    import pandas as pd
+
+    from osm2shp_spark.operators.images import decode_stats
+    from osm2shp_spark.sources.fixtures import image_table
+    from osm2shp_spark.streaming.images import stream_decode_stats
+
+    got = (
+        stream_decode_stats(spark, 60, name="t_img_stream")
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    want = (
+        decode_stats(image_table(spark, 60))
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)

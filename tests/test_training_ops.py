@@ -120,3 +120,45 @@ def test_jaccard_block_size_guard(spark):
         ).count()
         == 0
     )
+
+
+def test_stratified_sample_deterministic_and_quota(spark):
+    from osm2shp_spark.operators.sampling import DEFAULT_RATES
+
+    a = Q.q_stratified_sample(spark, SF_SMALL).toPandas()
+    b = Q.q_stratified_sample(spark, SF_SMALL).toPandas()
+    # rerun-idempotent: identical membership and splits
+    key = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert key(a) == key(b)
+    assert set(a.split) <= {"train", "val", "test"}
+    # every kept row respects its stratum quota
+    for _, r in a.iterrows():
+        assert r.bucket < DEFAULT_RATES.get(r.lang, 1000)
+    # split fractions roughly 8/1/1 over kept rows
+    frac_train = (a.split == "train").mean()
+    assert 0.6 < frac_train < 0.95
+
+
+def test_stratified_sample_is_map_only(spark):
+    plan = (
+        Q.q_stratified_sample(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero-shuffle map-filter
+
+
+def test_multimodal_pairs_canonical_election(spark):
+    from osm2shp_spark.sources.fixtures import (
+        generate_images_pdf,
+        images_count_for_sf,
+    )
+
+    df = Q.q_multimodal_pairs(spark, SF_SMALL).toPandas()
+    n = images_count_for_sf(SF_SMALL)
+    assert len(df) == n
+    # exactly one canonical pair per distinct phash
+    n_phash = generate_images_pdf(n).phash.nunique()
+    assert int(df.is_canonical.sum()) == n_phash
+    # languages are from the closed set (or undetermined)
+    assert set(df.pred_lang) <= {"de", "en", "es", "fr", "zh", "und"}
+    assert (df.n_bpe_tokens > 0).all()
