@@ -17,9 +17,10 @@ SQL twin for the DuckDB oracle (same IEEE-double quantization, same
 magic-number bit spreading via `<<`/`&`/`|`, which both dialects
 share).
 
-No counterpart in the reference (osm2shp writes shapefiles in input
-order, osm2shp.cc:61-76); this is the Spark-native answer to the same
-user need — fast spatial access to the output — at cluster scale.
+No counterpart in the reference (osm2shp appends shapes in arrival
+order — ``SHPWriteObject(shp_, -1, obj)``, osm/shapefile.cc:32-49);
+this is the Spark-native answer to the same user need — fast spatial
+access to the output — at cluster scale.
 """
 
 from __future__ import annotations
