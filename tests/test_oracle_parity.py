@@ -15,12 +15,14 @@ from osm2shp_spark import queries as Q
 #: queries whose oracle embeds sf0.01-sized golden fixtures
 _SF_PINNED = {
     "image_decode_stats",
+    "image_stream_decode",
     "image_features",
     "image_phash_dedup",
     "image_resize",
     "audio_features",
     "image_pip_classify",
     "point_cells",
+    "multimodal_pairs",
 }
 
 
