@@ -228,6 +228,11 @@ def encode_dcx(arr: np.ndarray, quality: int = DCX_DEFAULT_QUALITY) -> bytes:
     through one broadcasted DCT matmul each — no per-pixel Python."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(
+            f"dcx header packs dims as uint16: {w}x{h} exceeds 65535 "
+            "(use fmt='ppm'/'png' for larger images)"
+        )
     r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
     # BT.601 full-range (the JPEG YCbCr definition)
     y = 0.299 * r + 0.587 * g + 0.114 * b

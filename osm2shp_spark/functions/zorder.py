@@ -141,8 +141,9 @@ def zkey_ranges(
 
     qx0, qx1 = _q(bbox_query[0], bbox[0], bbox[2]), _q(bbox_query[2], bbox[0], bbox[2])
     qy0, qy1 = _q(bbox_query[1], bbox[1], bbox[3]), _q(bbox_query[3], bbox[1], bbox[3])
-    for level in range(bits + 1):
-        s = bits - level  # cell side = 2**s grid steps
+    # finest-to-coarsest: stop at the smallest cell side whose count
+    # fits the budget — the tightest covering, hence the most pruning
+    for s in range(bits + 1):  # cell side = 2**s grid steps
         cx0, cx1, cy0, cy1 = qx0 >> s, qx1 >> s, qy0 >> s, qy1 >> s
         if (cx1 - cx0 + 1) * (cy1 - cy0 + 1) <= max_cells:
             break

@@ -13,7 +13,13 @@ The hash is a Knuth multiplicative bucket on the integer key,
 expressed in dialect-shared SQL arithmetic so the DuckDB oracle
 recomputes it bit-for-bit: the key is reduced mod 2^20 first so the
 64-bit product can never overflow BIGINT (DuckDB errors on overflow,
-Spark wraps — neither path is hit).
+Spark wraps — neither path is hit), and the bucket is taken from the
+HIGH bits of the product (multiplicative hashing mixes upward — a
+trailing mod alone would discard every carry and leave the bucket an
+affine permutation of the key's decimal residue, i.e. periodic in the
+key). The /2^20 step is FLOOR division through doubles: the product
+is < 2^53 and the divisor a power of two, so the arithmetic is exact
+bit-for-bit in both dialects.
 """
 
 from __future__ import annotations
@@ -29,8 +35,10 @@ _KNUTH = 2654435761  # 2^32 * golden ratio, the classic multiplicative mix
 
 
 def bucket_sql(key_expr: str) -> str:
-    """0-999 bucket, identical arithmetic in Spark SQL and DuckDB."""
-    return f"((({key_expr}) % 1048576) * {_KNUTH}) % 1000"
+    """0-999 bucket from the product's high bits, identical arithmetic
+    in Spark SQL and DuckDB (exact: product < 2^53, divisor 2^20)."""
+    prod = f"((({key_expr}) % 1048576) * {_KNUTH})"
+    return f"(CAST(FLOOR({prod} / 1048576.0) AS BIGINT) % 1000)"
 
 
 def rate_sql(stratum_expr: str, rates: dict[str, int]) -> str:

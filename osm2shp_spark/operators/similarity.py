@@ -295,14 +295,30 @@ def cosine_topk_ivf(
         F.explode(assignp(vec_col)).alias("_cell"),
     )
     sim = cosine_sim_col("_pvec", "_cvec")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
+    return _two_stage_topk(
         c.join(F.broadcast(p), "_cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        .select("probe_id", "_cell", "neighbor_id", sim.alias("cosine")),
+        k,
+    )
+
+
+def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-probe top-k in two windows: first top-k within each
+    (probe, cell) — bounding every reducer key at one cell's
+    candidates even when a hot probe's nprobe cells are huge — then
+    the global per-probe window over ≤ nprobe*k survivors. Exact:
+    the ordering (cosine DESC, neighbor_id ASC) is total and each
+    neighbor lives in exactly one cell, so every global top-k row is
+    top-k within its own cell. ``scored`` needs columns
+    (probe_id, _cell, neighbor_id, cosine)."""
+    order = (F.col("cosine").desc(), F.col("neighbor_id").asc())
+    w_cell = Window.partitionBy("probe_id", "_cell").orderBy(*order)
+    w_probe = Window.partitionBy("probe_id").orderBy(*order)
+    return (
+        scored.withColumn("_cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("_cell_rank") <= k)
+        .withColumn("rank", F.row_number().over(w_probe))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", "cosine")
     )
@@ -379,16 +395,11 @@ def cosine_topk_ivf_flat(
         "_cell",
     )
     sim = cosine_from_norms("_pvec", "_cvec", "_pn", "_cn")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
+    return _two_stage_topk(
         c.join(F.broadcast(p), "_cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "neighbor_id", "cosine")
+        .select("probe_id", "_cell", "neighbor_id", sim.alias("cosine")),
+        k,
     )
 
 

@@ -246,6 +246,8 @@ def pip_join_s2(
     poly_cols: tuple[str, ...],
     max_cells_per_poly: int = 64,
     max_level: int = 14,
+    broadcast_rings: bool | None = None,
+    max_broadcast_vertices: int = MAX_BROADCAST_VERTICES,
 ) -> DataFrame:
     """PIP join prefiltered by S2 covering tokens instead of flat-grid
     tiles — the north rule's 'S2 covering tokens for point-in-polygon
@@ -260,6 +262,13 @@ def pip_join_s2(
     (production: a table stat). A fleet-wide level keeps the join a
     single-key equi-join; per-row adaptive levels are the flat-grid
     path's adaptive-cell territory.
+
+    The covering UDF is fully Arrow-batched: bboxes are computed
+    JVM-side (``array_min``/``array_max``) and the whole batch goes
+    through ONE vectorized :func:`s2.bbox_covering_batch` call — no
+    per-polygon Python. ``broadcast_rings=None`` auto-selects by the
+    same vertex budget as :func:`pip_join`; above it the rings ride
+    the join rows instead of a driver collect + broadcast.
     """
     from pyspark.sql import types as T
 
@@ -273,15 +282,19 @@ def pip_join_s2(
             (F.array_max("lats") - F.array_min("lats")).alias("dy"),
             F.array_min("lons").alias("x0"),
             F.array_min("lats").alias("y0"),
+            F.size("lons").alias("verts"),
         )
         .agg(
             F.max("dx").alias("dx"),
             F.max("dy").alias("dy"),
             F.min("x0").alias("x0"),
             F.min("y0").alias("y0"),
+            F.sum("verts").alias("verts"),
         )
         .collect()[0]
     )
+    if broadcast_rings is None:
+        broadcast_rings = int(spans["verts"] or 0) <= max_broadcast_vertices
     level = 1
     for lv in range(max_level, 0, -1):
         try:
@@ -297,27 +310,31 @@ def pip_join_s2(
             continue
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def cover_tokens(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        out = []
-        for lo, la in zip(lons, lats):
-            lo = np.asarray(lo, np.float64)
-            la = np.asarray(la, np.float64)
-            ids = S2.bbox_covering(
-                float(lo.min()), float(la.min()),
-                float(lo.max()), float(la.max()),
-                level, max_cells=max_cells_per_poly,
-            )
-            out.append(list(S2.token(ids)))
-        return pd.Series(out)
+    def cover_tokens(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+    ) -> pd.Series:
+        ids = S2.bbox_covering_batch(
+            x0.to_numpy(np.float64), y0.to_numpy(np.float64),
+            x1.to_numpy(np.float64), y1.to_numpy(np.float64),
+            level, max_cells=max_cells_per_poly,
+        )
+        return pd.Series([list(S2.token(a)) for a in ids])
 
+    ring_cols = [] if broadcast_rings else ["lons", "lats"]
     polys = (
         polygons.withColumn("_lon_min", F.array_min("lons"))
         .withColumn("_lon_max", F.array_max("lons"))
         .withColumn("_lat_min", F.array_min("lats"))
         .withColumn("_lat_max", F.array_max("lats"))
-        .withColumn("_tok", F.explode(cover_tokens("lons", "lats")))
+        .withColumn(
+            "_tok",
+            F.explode(
+                cover_tokens("_lon_min", "_lat_min", "_lon_max", "_lat_max")
+            ),
+        )
         .select(
-            *poly_cols, "_lon_min", "_lon_max", "_lat_min", "_lat_max", "_tok"
+            *poly_cols, *ring_cols,
+            "_lon_min", "_lon_max", "_lat_min", "_lat_max", "_tok",
         )
     )
     pts = points.select(
@@ -334,7 +351,7 @@ def pip_join_s2(
     )
     out_cols = list(point_cols) + list(poly_cols)
     return _refine_candidates(
-        cand, points, polygons, poly_key, out_cols, True, []
+        cand, points, polygons, poly_key, out_cols, broadcast_rings, ring_cols
     )
 
 

@@ -62,10 +62,10 @@ def register(name: str, oracle: str | Callable[[], str] | None):
 # Shared oracle CTE prelude (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-def _geo_ctes() -> str:
+def _geo_ctes(ways_sql_text: str | None = None) -> str:
     return f"""
 WITH nodes AS ({NODES_SQL}),
-ways AS ({ways_sql('duckdb')}),
+ways AS ({ways_sql_text or ways_sql('duckdb')}),
 staged AS (SELECT id, lon, lat FROM nodes WHERE id > 0),
 ways_kinded AS (
     SELECT *, len(refs) AS n_refs FROM (
@@ -132,17 +132,10 @@ FROM assembled
 """
 
 
-@register("way_assembly", _WAY_ASSEMBLY_ORACLE)
-def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship O12/O13 assembly. The operator itself returns the raw
-    parallel coordinate arrays (``assemble_ways``, pytest-parity-
-    checked); the driver gate cannot canonicalize ARRAY cells, so the
-    registered projection carries FULL value coverage of the arrays as
-    scalars: exact first/last coords (untouched doubles) + quantized
-    positional checksums (order-sensitive — any permutation or value
-    drift changes lon_qwsum/lat_qwsum)."""
-    nodes = synthetic_nodes(spark, sf_dir)
-    ways = synthetic_ways(spark, sf_dir)
+def _assembly_scalar_projection(assembled: DataFrame) -> DataFrame:
+    """Project assembled coord arrays to gate-comparable scalars: exact
+    first/last coords + quantized positional checksums (order-sensitive
+    — any permutation or value drift changes lon_qwsum/lat_qwsum)."""
     qsum = lambda c: (  # noqa: E731
         f"aggregate(transform({c}, x -> {_q6i('x')}), "
         f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -152,7 +145,7 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(x, i) -> CAST(i AS BIGINT) * {_q6i('x')}), "
         f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    return assemble_ways(nodes, ways).select(
+    return assembled.select(
         "way_id",
         "layer",
         "kind",
@@ -166,6 +159,52 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(qwsum("lons")).alias("lon_qwsum"),
         F.expr(qwsum("lats")).alias("lat_qwsum"),
     )
+
+
+@register("way_assembly", _WAY_ASSEMBLY_ORACLE)
+def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship O12/O13 assembly. The operator itself returns the raw
+    parallel coordinate arrays (``assemble_ways``, pytest-parity-
+    checked); the driver gate cannot canonicalize ARRAY cells, so the
+    registered projection carries FULL value coverage of the arrays as
+    scalars (see ``_assembly_scalar_projection``)."""
+    nodes = synthetic_nodes(spark, sf_dir)
+    ways = synthetic_ways(spark, sf_dir)
+    return _assembly_scalar_projection(assemble_ways(nodes, ways))
+
+
+def _mega_assembly_oracle() -> str:
+    from osm2shp_spark.sources.synthetic import mega_ways_sql
+
+    return _geo_ctes(mega_ways_sql("duckdb")) + """
+SELECT way_id, layer, kind, n_pts,
+       lons[1] AS first_lon, lats[1] AS first_lat,
+       lons[-1] AS last_lon, lats[-1] AS last_lat,
+       lon_qsum, lat_qsum, lon_qwsum, lat_qwsum
+FROM assembled
+"""
+
+
+@register("way_assembly_salted", _mega_assembly_oracle)
+def q_way_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 mega-way skew through the driver gate: the same flagship
+    assembly over ways PLUS one 60k-ref mega-way
+    (``sources.synthetic.mega_ways_sql``). ``assemble_ways_auto``'s
+    ref-count stat detects it and routes the salted two-stage plan
+    (skew.py: chunked groupBy bounds every reducer key at 1024 rows —
+    reference semantics unchanged, osm/point_database.cc:48-112). The
+    oracle is the path-independent assembly SQL over the same input,
+    so a salting bug (lost chunk, wrong order) breaks the value hash;
+    the strategy choice itself is asserted here and plan-asserted in
+    tests/test_plans.py."""
+    from osm2shp_spark.operators.assemble import assemble_ways_auto
+    from osm2shp_spark.sources.synthetic import synthetic_mega_ways
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    ways = synthetic_mega_ways(spark, sf_dir)
+    assembled, choice = assemble_ways_auto(nodes, ways, return_strategy=True)
+    assert choice == "salted", choice
+    return _assembly_scalar_projection(assembled)
 
 
 @register("resumable_node_export", lambda: _NODE_EXPORT_ORACLE)
@@ -658,6 +697,116 @@ def q_spatial_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             zkey_col(F.col("lon"), F.col("lat")).alias("zkey"),
         )
         .withColumn("zcell8", F.shiftrightunsigned("zkey", 16).cast("long"))
+    )
+
+
+def _shapefile_export_oracle() -> str:
+    from osm2shp_spark.sources.shapefile import PRJ_WKT
+
+    wkt_lit = PRJ_WKT.replace("'", "''")
+    return _geo_ctes() + f"""
+SELECT layer,
+       CASE WHEN kind = 'polygon' THEN 5 ELSE 3 END AS shp_type,
+       count(*) AS n_features,
+       CAST(sum(n_pts) AS BIGINT) AS n_vertices,
+       sha256('{wkt_lit}') AS prj_sha
+FROM assembled
+GROUP BY layer, kind
+"""
+
+
+@register("shapefile_export", _shapefile_export_oracle)
+def q_shapefile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15/O16 through the gate: assemble ways, WRITE the binary
+    one-shapefile-per-layer sink (.shp/.shx/.dbf/.prj —
+    sources/shapefile.py, ESRI/dBASE specs; reference
+    osm/shapefile.cc:41-49,65-79), then parse the written FILES back
+    and summarize per layer: record count, total vertices, shape type
+    from the record headers, and sha256 of the .prj bytes. The oracle
+    recomputes counts/types from the assembly CTE and hashes the
+    reference's verbatim WKT inside DuckDB — a writer that drops a
+    record, miscounts vertices, writes the wrong shape type, or
+    corrupts the CRS sidecar breaks the hash."""
+    import glob as _glob
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from osm2shp_spark.sources.shapefile import export_shapefiles, read_shapefile
+
+    out = _tf.mkdtemp(prefix="shp_gate_")
+    ways = assemble_ways(
+        synthetic_nodes(spark, sf_dir), synthetic_ways(spark, sf_dir)
+    )
+    export_shapefiles(None, ways, out)
+    rows = []
+    for shp in sorted(_glob.glob(_os.path.join(out, "*.shp"))):
+        base = shp[:-4]
+        recs = read_shapefile(base)
+        with open(base + ".prj", "rb") as f:
+            prj_sha = _hl.sha256(f.read()).hexdigest()
+        rows.append(
+            (
+                _os.path.basename(base),
+                recs[0]["type"],
+                len(recs),
+                sum(len(r["xs"]) for r in recs),
+                prj_sha,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "layer STRING, shp_type INT, n_features BIGINT, "
+        "n_vertices BIGINT, prj_sha STRING",
+    )
+
+
+#: gate bbox for the z-order reader (interior of the fixture extent;
+#: bounds are off the 1/997 coordinate grids, so no boundary ties)
+_ZREAD_BOX = (8.2, 47.3, 8.45, 47.62)
+
+
+def _zorder_read_oracle() -> str:
+    from osm2shp_spark.functions.zorder import zkey_sql
+
+    x0, y0, x1, y1 = _ZREAD_BOX
+    return f"""
+WITH nodes AS ({NODES_SQL}),
+staged AS (SELECT id, lon, lat FROM nodes WHERE id > 0),
+keyed AS (
+    SELECT id AS node_id, lon, lat, {zkey_sql('lon', 'lat')} AS zkey
+    FROM staged
+)
+SELECT node_id, lon, lat, zkey FROM keyed
+WHERE lon >= {x0!r}e0 AND lon <= {x1!r}e0
+  AND lat >= {y0!r}e0 AND lat <= {y1!r}e0
+"""
+
+
+@register("zorder_bbox_read", _zorder_read_oracle)
+def q_zorder_bbox_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Z-order layout: WRITE the staged nodes
+    repartitionByRange+sorted by Morton key, then READ a bbox back
+    through the pruned-scan path (`read_bbox`: quadtree zkey range
+    predicates pushed into the parquet scan + exact lon/lat refine).
+    The oracle is pure interval algebra over the same derived table —
+    a reader that prunes too much (a zkey_ranges covering that is not
+    a superset) silently drops rows and breaks the value hash; that
+    the range predicates actually PRUNE (files skipped, PushedFilters)
+    is plan-asserted in tests/test_zorder.py and
+    tests/test_plans.py."""
+    import tempfile as _tf
+
+    from osm2shp_spark.functions.zorder import read_bbox, zorder_write
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    staged = nodes.filter(F.col("id") > 0).select(
+        F.col("id").alias("node_id"), "lon", "lat"
+    )
+    path = _tf.mkdtemp(prefix="zorder_gate_") + "/pts"
+    zorder_write(staged, path, target_files=8)
+    return read_bbox(spark, path, _ZREAD_BOX).select(
+        "node_id", "lon", "lat", "zkey"
     )
 
 

@@ -144,6 +144,45 @@ FROM (
 """
 
 
+#: mega-way fixture (N6 skew): one way whose ref count crosses the
+#: salted-assembly threshold (operators.assemble.MEGA_WAY_THRESHOLD).
+#: Refs cycle through node ids 1..199 — present at every sf (part has
+#: >=200 rows even at sf0.001) and never dropped by staging — so the
+#: way fully resolves and the all-or-nothing rule keeps it.
+MEGA_WAY_ID = 1_000_000_001
+MEGA_WAY_REFS = 60_000
+
+
+def mega_ways_sql(dialect: str) -> str:
+    """``ways_sql`` plus the appended mega-way row (same columns)."""
+    if dialect == "duckdb":
+        refs = (
+            f"list_transform(range(0, {MEGA_WAY_REFS}), "
+            "i -> CAST((i * 7919) % 199 + 1 AS BIGINT))"
+        )
+        null_s = "CAST(NULL AS VARCHAR)"
+    elif dialect == "spark":
+        refs = (
+            f"transform(sequence(0, {MEGA_WAY_REFS - 1}), "
+            "i -> CAST((i * 7919) % 199 + 1 AS BIGINT))"
+        )
+        null_s = "CAST(NULL AS STRING)"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    return f"""
+{ways_sql(dialect)}
+UNION ALL
+SELECT CAST({MEGA_WAY_ID} AS BIGINT) AS id,
+       {refs} AS refs,
+       'motorway' AS tag_highway,
+       {null_s} AS tag_railway,
+       {null_s} AS tag_waterway,
+       {null_s} AS tag_natural,
+       {null_s} AS tag_landuse,
+       {null_s} AS tag_area
+"""
+
+
 # ---------------------------------------------------------------------------
 # images (georeferenced points; binary payloads live in fixtures.py)
 # ---------------------------------------------------------------------------
@@ -191,6 +230,10 @@ def synthetic_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthetic_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, ways_sql("spark"))
+
+
+def synthetic_mega_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, mega_ways_sql("spark"))
 
 
 def synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,26 @@ def test_ivf_full_probe_equals_exact(spark):
     assert canon_rows(exact) == canon_rows(full)
 
 
+def test_ivf_trained_recall_at_nprobe(spark):
+    """Quantizer quality gate for the k-means-trained path: recall@k
+    vs the exact ranking must clear a pinned floor at nprobe=4 (it is
+    exactly 1.0 at nprobe=n_cells, tested above) — a quantizer
+    regression (bad centroids, wrong assignment) drops recall and
+    fails here."""
+    register_driver_tables(spark, SF_SMALL)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id % 50 = 0")
+    k = 5
+    exact = cosine_topk(emb, probes, k=k).toPandas()
+    approx = cosine_topk_ivf(
+        emb, probes, k=k, dim=64, n_cells=8, nprobe=4
+    ).toPandas()
+    truth = set(zip(exact.probe_id.astype(int), exact.neighbor_id.astype(int)))
+    got = set(zip(approx.probe_id.astype(int), approx.neighbor_id.astype(int)))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.55, recall
+
+
 def test_ivf_deterministic(spark):
     a = Q.q_ann_cosine_ivf(spark, SF_SMALL).toPandas()
     b = Q.q_ann_cosine_ivf(spark, SF_SMALL).toPandas()

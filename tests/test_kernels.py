@@ -147,6 +147,32 @@ class TestS2:
         )
         assert np.isin(pts, cov).all()
 
+    def test_bbox_covering_batch_matches_scalar(self):
+        """The Arrow-batch covering (one vectorized pass over n bboxes)
+        must be byte-identical to the scalar function per row."""
+        rng = np.random.default_rng(13)
+        x0 = rng.uniform(8, 8.9, 60)
+        y0 = rng.uniform(47, 47.9, 60)
+        x1 = x0 + rng.uniform(0.001, 0.1, 60)
+        y1 = y0 + rng.uniform(0.001, 0.1, 60)
+        for level in (8, 11, 13):
+            batch = s2.bbox_covering_batch(x0, y0, x1, y1, level, max_cells=256)
+            for k in range(60):
+                scalar = s2.bbox_covering(
+                    float(x0[k]), float(y0[k]), float(x1[k]), float(y1[k]),
+                    level, max_cells=256,
+                )
+                assert np.array_equal(batch[k], scalar), (level, k)
+
+    def test_bbox_covering_batch_budget(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="max_cells"):
+            s2.bbox_covering_batch(
+                np.array([8.0]), np.array([47.0]),
+                np.array([9.0]), np.array([48.0]), 14, max_cells=16,
+            )
+
 
 class TestHexGrid:
     def test_pack_unpack(self):

@@ -150,6 +150,22 @@ def test_pip_auto_broadcast_selection(spark):
     assert canon_rows(riding.toPandas()) == rows_auto
 
 
+def test_way_assembly_salted_plan_is_two_stage(spark):
+    """The registered mega-way query must actually execute the salted
+    two-stage aggregation: the chunk salt key appears in the plan and
+    there are two grouping stages (chunked assembly + chunk concat),
+    each with partial aggregation."""
+    from osm2shp_spark import queries as Q
+
+    df = Q.REGISTRY["way_assembly_salted"][0](spark, SF_SMALL)
+    p = _plan(df)
+    assert "chunk_id" in p
+    # collect_list aggregations surface as ObjectHashAggregate (or
+    # SortAggregate fallback); two groupBys x (partial + final) = 4
+    assert p.count("ObjectHashAggregate") + p.count("SortAggregate") >= 4
+    assert "CartesianProduct" not in p
+
+
 def test_ivf_flat_plan_shape(spark):
     """IVF assignment is an INTENTIONAL broadcast nested-loop of rows x
     n_cells (the standard IVF indexing bill); everything else must be

@@ -130,6 +130,14 @@ def test_pip_s2_equals_flat_grid(spark):
     a = canon_rows(pip_join(imgs, rects, ("image_id",), ("rect_id", "layer")).toPandas())
     b = canon_rows(pip_join_s2(imgs, rects, ("image_id",), ("rect_id", "layer")).toPandas())
     assert a == b and len(a) > 0
+    # ride-along ring path (above the broadcast vertex budget): same rows
+    c = canon_rows(
+        pip_join_s2(
+            imgs, rects, ("image_id",), ("rect_id", "layer"),
+            broadcast_rings=False,
+        ).toPandas()
+    )
+    assert a == c
 
 
 def test_knn_adaptive_tile_size(spark):

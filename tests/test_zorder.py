@@ -93,6 +93,21 @@ class TestRanges:
     def test_full_extent_is_one_range(self):
         assert Z.zkey_ranges((8.0, 47.0, 9.0, 48.0)) == [(0, (1 << 32) - 1)]
 
+    def test_small_bbox_is_tight(self):
+        """A 0.2x0.2 bbox (4% of the extent's area) must cover far less
+        than the full keyspace — this is the pruning the layout exists
+        for (guards the coarsest-first regression where every query
+        decomposed to the single full-range interval)."""
+        ranges = Z.zkey_ranges((8.2, 47.3, 8.4, 47.5))
+        covered = sum(b - a + 1 for a, b in ranges)
+        assert covered < (1 << 32) // 10, covered
+        assert len(ranges) >= 2  # de-vacuouses the merge assertion
+
+    def test_tiny_bbox_covers_order_of_cells(self):
+        ranges = Z.zkey_ranges((8.5, 47.5, 8.50001, 47.50001))
+        covered = sum(b - a + 1 for a, b in ranges)
+        assert covered <= 64 * 4  # finest-level cells only
+
 
 class TestLayout:
     @pytest.fixture(scope="class")
