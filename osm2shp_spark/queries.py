@@ -700,6 +700,120 @@ def q_spatial_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pbf_roundtrip_oracle() -> str:
+    return f"""
+WITH nodes AS ({NODES_SQL}),
+ways AS ({ways_sql('duckdb')}),
+refstats AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(sum(CAST(pos AS BIGINT) * ref) AS BIGINT) AS refs_qwsum
+    FROM (
+        SELECT id, unnest(refs) AS ref,
+               generate_subscripts(refs, 1) AS pos
+        FROM ways
+    ) t
+    GROUP BY id
+)
+SELECT 'node' AS kind, id,
+       CAST(floor(lon * 1e7 + 0.5e0) AS BIGINT) AS qlon7,
+       CAST(floor(lat * 1e7 + 0.5e0) AS BIGINT) AS qlat7,
+       tag_place AS tag_a, tag_name AS tag_b,
+       CAST(NULL AS VARCHAR) AS tag_c, CAST(NULL AS VARCHAR) AS tag_d,
+       CAST(NULL AS BIGINT) AS n_refs, CAST(NULL AS BIGINT) AS refs_qwsum
+FROM nodes
+UNION ALL
+SELECT 'way' AS kind, w.id,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       w.tag_highway, w.tag_waterway, w.tag_natural, w.tag_railway,
+       r.n_refs, r.refs_qwsum
+FROM ways w JOIN refstats r ON w.id = r.id
+"""
+
+
+@register("pbf_roundtrip", _pbf_roundtrip_oracle)
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (PBF source) through the gate: render the synthetic tables
+    into a REAL OSM PBF byte stream (DenseNodes deltas, string tables,
+    zlib blobs — sources/osmpbf.py, public wire spec), then ingest it
+    back through the blob-parallel distributed reader and project to
+    gate scalars: wire-quantized coords (floor(x*1e7+0.5), the
+    dialect-shared arithmetic the encoder uses), tag lookups, and
+    order-sensitive ref checksums. The oracle recomputes everything
+    from the source tables in DuckDB — a decoder bug (delta/zigzag/
+    string-table/blob-split) changes ids, coords, tags or ref order
+    and breaks the hash."""
+    import os as _os
+    import tempfile as _tf
+
+    from osm2shp_spark.sources.osmpbf import encode_osm_pbf, read_pbf_distributed
+
+    nodes = synthetic_nodes(spark, sf_dir).collect()
+    ways = synthetic_ways(spark, sf_dir).collect()
+    nrows = [
+        (
+            r.id, r.lon, r.lat,
+            {
+                k: v
+                for k, v in (("place", r.tag_place), ("name", r.tag_name))
+                if v is not None
+            },
+        )
+        for r in nodes
+    ]
+    wrows = [
+        (
+            r.id, list(r.refs),
+            {
+                k: v
+                for k, v in (
+                    ("highway", r.tag_highway), ("railway", r.tag_railway),
+                    ("waterway", r.tag_waterway), ("natural", r.tag_natural),
+                    ("landuse", r.tag_landuse), ("area", r.tag_area),
+                )
+                if v is not None
+            },
+        )
+        for r in ways
+    ]
+    path = _os.path.join(_tf.mkdtemp(prefix="pbf_gate_"), "fixture.osm.pbf")
+    with open(path, "wb") as f:
+        # small blobs so the blob-split table actually fans out at
+        # gate scale (planet files carry ~8k entities/blob)
+        f.write(encode_osm_pbf(nrows, wrows, entities_per_blob=500))
+    nd, wd = read_pbf_distributed(spark, path)
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    n_out = nd.select(
+        F.lit("node").alias("kind"),
+        "id",
+        F.expr("CAST(floor(lon * 1e7 + 0.5e0) AS BIGINT)").alias("qlon7"),
+        F.expr("CAST(floor(lat * 1e7 + 0.5e0) AS BIGINT)").alias("qlat7"),
+        F.col("tags")["place"].alias("tag_a"),
+        F.col("tags")["name"].alias("tag_b"),
+        null_s.alias("tag_c"),
+        null_s.alias("tag_d"),
+        null_l.alias("n_refs"),
+        null_l.alias("refs_qwsum"),
+    )
+    w_out = wd.select(
+        F.lit("way").alias("kind"),
+        "id",
+        null_l.alias("qlon7"),
+        null_l.alias("qlat7"),
+        F.col("tags")["highway"].alias("tag_a"),
+        F.col("tags")["waterway"].alias("tag_b"),
+        F.col("tags")["natural"].alias("tag_c"),
+        F.col("tags")["railway"].alias("tag_d"),
+        F.size("refs").cast("long").alias("n_refs"),
+        F.expr(
+            "aggregate(zip_with(refs, sequence(1, size(refs)), "
+            "(r, i) -> CAST(i AS BIGINT) * r), CAST(0 AS BIGINT), "
+            "(a, v) -> a + v)"
+        ).alias("refs_qwsum"),
+    )
+    return n_out.unionByName(w_out)
+
+
 def _shapefile_export_oracle() -> str:
     from osm2shp_spark.sources.shapefile import PRJ_WKT
 

@@ -32,6 +32,7 @@ coordinate = 1e-9 * (offset + granularity * value) degrees.
 
 from __future__ import annotations
 
+import math
 import os
 import struct
 import zlib
@@ -380,8 +381,13 @@ def encode_osm_pbf(
         group = b""
         if nodes:
             ids = [n[0] for n in nodes]
-            lats = [int(round(n[3] / COORD_SCALE / GRANULARITY_DEFAULT)) for n in nodes]
-            lons = [int(round(n[2] / COORD_SCALE / GRANULARITY_DEFAULT)) for n in nodes]
+            # floor(x*1e7 + 0.5), not round(): multiply + add + floor
+            # are bit-identical across Python/Spark/DuckDB doubles
+            # (round() diverges on .5 ties — banker's vs half-away),
+            # which lets SQL oracles recompute the wire quantization
+            # exactly. 1e7 = 1/(COORD_SCALE*GRANULARITY_DEFAULT).
+            lats = [int(math.floor(n[3] * 1e7 + 0.5)) for n in nodes]
+            lons = [int(math.floor(n[2] * 1e7 + 0.5)) for n in nodes]
             kv: list[int] = []
             for n in nodes:
                 for k, v in n[4].items():

@@ -33,10 +33,11 @@ from test_osmxml import _table_rows
 
 def _quant(x: float) -> float:
     """The PBF wire quantization (100 nanodegree grid), exactly as the
-    encoder+decoder compute it."""
-    return COORD_SCALE * (
-        GRANULARITY_DEFAULT * int(round(x / COORD_SCALE / GRANULARITY_DEFAULT))
-    )
+    encoder+decoder compute it (floor(x*1e7+0.5) — the dialect-shared
+    arithmetic the pbf_roundtrip gate oracle recomputes)."""
+    import math
+
+    return COORD_SCALE * (GRANULARITY_DEFAULT * int(math.floor(x * 1e7 + 0.5)))
 
 
 @pytest.fixture(scope="module")
