@@ -626,6 +626,39 @@ def q_knn_places_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_broadcast(imgs, places, k=3)
 
 
+@register("knn_places_adaptive", _KNN_ORACLE)
+def q_knn_places_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 adaptive path through the gate: the density histogram picks
+    the prefilter tile size (dense hot cluster in the fixture → finer
+    grid), then the same provably-exact kNN. Same oracle as knn_places
+    — exactness is tile-size independent by construction, so a
+    histogram/threshold bug that broke candidate completeness breaks
+    the value hash."""
+    from osm2shp_spark.operators.spatial import knn_join_adaptive
+
+    imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
+    places = classify_nodes(synthetic_nodes(spark, sf_dir)).select(
+        "node_id", "lon", "lat"
+    )
+    return knn_join_adaptive(imgs, places, k=3, hot_threshold=50)
+
+
+@register("way_assembly_mapside", _WAY_ASSEMBLY_ORACLE)
+def q_way_assembly_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle assembly path through the gate: staged nodes
+    broadcast as three numpy arrays, one mapInPandas pass does the
+    ref lookup + ordered assembly + all-or-nothing rule in place (no
+    explode, no join shuffle, no groupBy). Same path-independent
+    oracle as way_assembly — the searchsorted lookup, positional
+    fan-out and integrity drop must reproduce the Catalyst plan's
+    rows exactly."""
+    from osm2shp_spark.operators.assemble import assemble_ways_mapside
+
+    nodes = synthetic_nodes(spark, sf_dir)
+    ways = synthetic_ways(spark, sf_dir)
+    return _assembly_scalar_projection(assemble_ways_mapside(nodes, ways))
+
+
 _TILE_JOIN_ORACLE = f"""
 WITH nodes AS ({NODES_SQL}),
 images AS ({IMAGES_SQL}),
