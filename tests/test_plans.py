@@ -166,6 +166,17 @@ def test_way_assembly_salted_plan_is_two_stage(spark):
     assert "CartesianProduct" not in p
 
 
+def test_zorder_read_query_pushes_key_ranges(spark):
+    """The registered zorder_bbox_read query's scan must carry the
+    zkey range predicates as PushedFilters (file/row-group pruning),
+    plus the exact lon/lat refine."""
+    from osm2shp_spark import queries as Q
+
+    p = _plan(Q.REGISTRY["zorder_bbox_read"][0](spark, SF_SMALL))
+    assert "PushedFilters" in p and "zkey" in p
+    assert "GreaterThanOrEqual(zkey" in p or "LessThanOrEqual(zkey" in p
+
+
 def test_ivf_flat_plan_shape(spark):
     """IVF assignment is an INTENTIONAL broadcast nested-loop of rows x
     n_cells (the standard IVF indexing bill); everything else must be
