@@ -214,15 +214,29 @@ def level_of(ids) -> np.ndarray:
 
 
 def token(ids) -> np.ndarray:
-    """Standard S2 token: 16-hex-digit id, trailing zeros stripped."""
+    """Standard S2 token: 16-hex-digit id, trailing zeros stripped.
+
+    Batch-vectorized: ONE ``hexlify`` over the whole big-endian id
+    buffer formats every digit, and the per-id keep-length comes from
+    vectorized trailing-zero-bit math (lowest-set-bit is a power of
+    two, exact in float64, so ``log2`` recovers the bit index); the
+    only per-row Python left is a constant-time string slice (~10x
+    cheaper than per-id ``format``+``rstrip``)."""
+    import binascii
+
     ids = np.atleast_1d(np.asarray(ids, np.uint64))
-    out = np.empty(len(ids), dtype=object)
-    for idx, v in enumerate(ids):
-        if v == 0:
-            out[idx] = "X"
-            continue
-        h = format(int(v), "016x").rstrip("0")
-        out[idx] = h if h else "X"
+    n = len(ids)
+    out = np.empty(n, dtype=object)
+    if n == 0:
+        return out
+    hexstr = binascii.hexlify(ids.astype(">u8").tobytes()).decode("ascii")
+    low = ids & (np.uint64(0) - ids)  # lowest set bit (0 for id==0)
+    nz = ids != 0
+    tz = np.zeros(n, np.int64)
+    tz[nz] = np.round(np.log2(low[nz].astype(np.float64))).astype(np.int64)
+    keep = np.where(nz, 16 - tz // 4, 0)
+    for i, k in enumerate(keep.tolist()):
+        out[i] = hexstr[i * 16 : i * 16 + k] if k else "X"
     return out
 
 

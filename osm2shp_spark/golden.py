@@ -179,6 +179,71 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 """
 
 
+def adaptive_cells_oracle(
+    images_sql: str,
+    sample_mod: int = 20,
+    base_res: int = 7,
+    hot_threshold: int = 20,
+) -> str:
+    """Mixed-mode oracle for the N6 adaptive-cell-splitting operator
+    (``operators.skew.adaptive_cells``): only the hex cell IDS are
+    golden-injected (computed driver-side with the same NumPy kernel
+    the executors run); the hot-cell RE-INDEX DECISIONS — histogram at
+    each level, strict ``n > threshold`` hotness, re-index only of
+    points split in the previous iteration — are recomputed as
+    independent SQL over those counts. A broken histogram filter,
+    off-by-one threshold, or wrong-level re-index flips cell_adaptive/
+    cell_res and breaks the value hash. Pinned to the gate's sf0.01
+    tables like every golden."""
+    import duckdb
+
+    from osm2shp_spark.functions import hexgrid
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "'/root/testdata/sf0.01/orders.parquet'"
+    )
+    pts = con.execute(
+        f"SELECT img_key, lon, lat FROM ({images_sql}) i "
+        f"WHERE img_key % {sample_mod} = 0"
+    ).df()
+    lon = pts["lon"].to_numpy()
+    lat = pts["lat"].to_numpy()
+    exp = pd.DataFrame({"img_key": pts["img_key"].astype("int64")})
+    casts = {"img_key": "BIGINT"}
+    for r in (base_res, base_res + 1, base_res + 2):
+        exp[f"c{r}"] = hexgrid.hex_cell(lon, lat, r)
+        casts[f"c{r}"] = "BIGINT"
+    vals = values_sql(exp, casts)
+    r0, r1, r2 = base_res, base_res + 1, base_res + 2
+    t = hot_threshold
+    return f"""
+WITH pts AS ({vals}),
+h0 AS (SELECT c{r0} AS cell, count(*) AS n FROM pts GROUP BY c{r0}),
+s1 AS (
+    SELECT p.img_key, p.c{r1}, p.c{r2},
+           CASE WHEN h.n > {t} THEN p.c{r1} ELSE p.c{r0} END AS cell1,
+           CASE WHEN h.n > {t} THEN {r1} ELSE {r0} END AS res1
+    FROM pts p JOIN h0 h ON p.c{r0} = h.cell
+),
+h1 AS (
+    SELECT cell1 AS cell, count(*) AS n FROM s1
+    WHERE res1 = {r1} GROUP BY cell1
+),
+fin AS (
+    SELECT s.img_key,
+           CASE WHEN s.res1 = {r1} AND h.n > {t}
+                THEN s.c{r2} ELSE s.cell1 END AS cell_adaptive,
+           CASE WHEN s.res1 = {r1} AND h.n > {t}
+                THEN {r2} ELSE s.res1 END AS cell_res
+    FROM s1 s LEFT JOIN h1 h ON s.res1 = {r1} AND s.cell1 = h.cell
+)
+SELECT img_key, cell_adaptive, CAST(cell_res AS INTEGER) AS cell_res
+FROM fin
+"""
+
+
 def point_cells_oracle(images_sql: str, sample_mod: int = 40) -> str:
     """Golden oracle for the N1/N2 point cell family: lon/lat are
     SQL-derivable (the synthetic images table), so DuckDB recomputes

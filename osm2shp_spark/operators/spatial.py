@@ -318,7 +318,14 @@ def pip_join_s2(
             x1.to_numpy(np.float64), y1.to_numpy(np.float64),
             level, max_cells=max_cells_per_poly,
         )
-        return pd.Series([list(S2.token(a)) for a in ids])
+        # one vectorized token pass over ALL coverings (flatten →
+        # single hexlify-batched S2.token → split back) — no
+        # per-polygon Python formatting
+        if not ids:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in ids), np.int64, count=len(ids))
+        toks = S2.token(np.concatenate(ids))
+        return pd.Series(np.split(toks, np.cumsum(lens)[:-1]))
 
     ring_cols = [] if broadcast_rings else ["lons", "lats"]
     polys = (
@@ -475,6 +482,10 @@ def knn_join(
     return solved.unionByName(brute)
 
 
+#: broadcast budget for the feature side of kNN (rows ≈ 24 B each)
+MAX_BROADCAST_FEATURES = 10_000_000
+
+
 def knn_join_broadcast(
     points: DataFrame,
     features: DataFrame,
@@ -482,6 +493,7 @@ def knn_join_broadcast(
     point_id: str = "image_id",
     feature_id: str = "node_id",
     tile_size: float = TILE_SIZE,
+    max_broadcast_features: int | None = MAX_BROADCAST_FEATURES,
 ) -> DataFrame:
     """Zero-shuffle exact kNN for broadcastable feature sets (the named-
     place dimension table stays small even at planet scale). Identical
@@ -498,7 +510,20 @@ def knn_join_broadcast(
     feature id once per tile, so a *stable* argsort on dist2 alone
     reproduces the (dist2, id) lexicographic order row-wise in one
     C-level call.
+
+    ``max_broadcast_features`` guards the driver collect: above the
+    budget this falls back to the shuffle :func:`knn_join` (identical
+    results) instead of OOMing the driver at 100x feature scale —
+    direct callers get the same protection as the
+    :func:`knn_join_auto` selector. Pass ``None`` to skip the count
+    pre-pass when the caller has already budget-checked (the count is
+    metadata-backed on parquet/Iceberg sources).
     """
+    if (
+        max_broadcast_features is not None
+        and features.count() > max_broadcast_features
+    ):
+        return knn_join(points, features, k, point_id, feature_id, tile_size)
     feat_pdf = features.select(feature_id, "lon", "lat").toPandas()
     # global feature order by id: with columns pre-sorted by id, a
     # stable sort on dist2 == lexsort((id, dist2))
@@ -614,10 +639,6 @@ def knn_join_broadcast(
     return points.select(point_id, "lon", "lat").mapInPandas(run, schema=out_schema)
 
 
-#: broadcast budget for the feature side of kNN (rows ≈ 24 B each)
-MAX_BROADCAST_FEATURES = 10_000_000
-
-
 def auto_tile_size(
     features: DataFrame,
     base_tile_size: float = TILE_SIZE,
@@ -686,8 +707,10 @@ def knn_join_auto(
     """
     n = features.count()
     if n <= max_broadcast_features:
+        # budget already checked here — skip the recount inside
         choice, out = "broadcast", knn_join_broadcast(
-            points, features, k, point_id, feature_id, tile_size
+            points, features, k, point_id, feature_id, tile_size,
+            max_broadcast_features=None,
         )
     else:
         choice, out = "shuffle", knn_join(

@@ -185,7 +185,6 @@ FROM assembled
 """
 
 
-@register("way_assembly_salted", _mega_assembly_oracle)
 def q_way_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N6 mega-way skew through the driver gate: the same flagship
     assembly over ways PLUS one 60k-ref mega-way
@@ -196,7 +195,7 @@ def q_way_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the path-independent assembly SQL over the same input,
     so a salting bug (lost chunk, wrong order) breaks the value hash;
     the strategy choice itself is asserted here and plan-asserted in
-    tests/test_plans.py."""
+    tests/test_plans.py. Gated via ``way_assembly_strategies``."""
     from osm2shp_spark.operators.assemble import assemble_ways_auto
     from osm2shp_spark.sources.synthetic import synthetic_mega_ways
 
@@ -205,6 +204,35 @@ def q_way_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled, choice = assemble_ways_auto(nodes, ways, return_strategy=True)
     assert choice == "salted", choice
     return _assembly_scalar_projection(assembled)
+
+
+def _way_strategies_oracle() -> str:
+    return f"""
+SELECT 'salted' AS strategy, t.* FROM ({_mega_assembly_oracle()}) t
+UNION ALL
+SELECT 'mapside' AS strategy, t.* FROM ({_WAY_ASSEMBLY_ORACLE}) t
+"""
+
+
+@register("way_assembly_strategies", _way_strategies_oracle)
+def q_way_assembly_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both alternative physical assembly strategies in ONE gate row
+    (the driver records at most 50 registry entries, so intra-family
+    variants share a row — each side still executes its full plan and
+    is value-checked against its own path-independent SQL):
+
+    - ``salted``: mega-way input routed by ``assemble_ways_auto`` onto
+      the two-stage salted plan (bounded reducer keys);
+    - ``mapside``: zero-shuffle broadcast-numpy assembly on the
+      standard input.
+    """
+    salted = q_way_assembly_salted(spark, sf_dir).select(
+        F.lit("salted").alias("strategy"), "*"
+    )
+    mapside = q_way_assembly_mapside(spark, sf_dir).select(
+        F.lit("mapside").alias("strategy"), "*"
+    )
+    return salted.unionByName(mapside)
 
 
 @register("resumable_node_export", lambda: _NODE_EXPORT_ORACLE)
@@ -613,10 +641,9 @@ def q_knn_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(imgs, places, k=3)
 
 
-@register("knn_places_broadcast", _KNN_ORACLE)
 def q_knn_places_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle broadcast kNN path (same oracle as knn_places —
-    bit-identical results required)."""
+    bit-identical results required). Gated via ``knn_places_strategies``."""
     from osm2shp_spark.operators.spatial import knn_join_broadcast
 
     imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
@@ -626,14 +653,13 @@ def q_knn_places_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_broadcast(imgs, places, k=3)
 
 
-@register("knn_places_adaptive", _KNN_ORACLE)
 def q_knn_places_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N6 adaptive path through the gate: the density histogram picks
     the prefilter tile size (dense hot cluster in the fixture → finer
     grid), then the same provably-exact kNN. Same oracle as knn_places
     — exactness is tile-size independent by construction, so a
     histogram/threshold bug that broke candidate completeness breaks
-    the value hash."""
+    the value hash. Gated via ``knn_places_strategies``."""
     from osm2shp_spark.operators.spatial import knn_join_adaptive
 
     imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
@@ -643,7 +669,29 @@ def q_knn_places_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(imgs, places, k=3, hot_threshold=50)
 
 
-@register("way_assembly_mapside", _WAY_ASSEMBLY_ORACLE)
+_KNN_STRATEGIES_ORACLE = f"""
+SELECT 'broadcast' AS strategy, t.* FROM ({_KNN_ORACLE}) t
+UNION ALL
+SELECT 'adaptive' AS strategy, t.* FROM ({_KNN_ORACLE}) t
+"""
+
+
+@register("knn_places_strategies", _KNN_STRATEGIES_ORACLE)
+def q_knn_places_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both alternative kNN physical strategies in ONE gate row (driver
+    50-entry window; see way_assembly_strategies). Each side runs its
+    full plan — the zero-shuffle broadcast-numpy path and the
+    density-histogram adaptive-tile path — and both must reproduce the
+    brute-force SQL result bit-for-bit."""
+    bcast = q_knn_places_broadcast(spark, sf_dir).select(
+        F.lit("broadcast").alias("strategy"), "*"
+    )
+    adapt = q_knn_places_adaptive(spark, sf_dir).select(
+        F.lit("adaptive").alias("strategy"), "*"
+    )
+    return bcast.unionByName(adapt)
+
+
 def q_way_assembly_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle assembly path through the gate: staged nodes
     broadcast as three numpy arrays, one mapInPandas pass does the
@@ -651,7 +699,7 @@ def q_way_assembly_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no join shuffle, no groupBy). Same path-independent
     oracle as way_assembly — the searchsorted lookup, positional
     fan-out and integrity drop must reproduce the Catalyst plan's
-    rows exactly."""
+    rows exactly. Gated via ``way_assembly_strategies``."""
     from osm2shp_spark.operators.assemble import assemble_ways_mapside
 
     nodes = synthetic_nodes(spark, sf_dir)
@@ -1235,14 +1283,10 @@ _EMB_CORPUS_SQL = "SELECT vec_id, embedding FROM embeddings"
 _EMB_PROBES_SQL = _EMB_CORPUS_SQL + " WHERE vec_id % 50 = 0"
 
 
-@register(
-    "ann_cosine_lsh",
-    cosine_topk_lsh_oracle(_EMB_CORPUS_SQL, _EMB_PROBES_SQL, k=5, dim=64),
-)
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH approximate top-5 with exact re-rank — the full
     pipeline (bucket assignment, candidate join, re-rank, tie-break)
-    replicated by the DuckDB oracle."""
+    replicated by the DuckDB oracle. Gated via ``ann_cosine_approx``."""
     register_driver_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     probes = emb.filter("vec_id % 50 = 0")
@@ -1261,19 +1305,42 @@ def _ivf_oracle() -> str:
     )
 
 
-@register("ann_cosine_ivf", _ivf_oracle)
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k, deterministic-quantizer variant — the full pipeline
     (cell assignment, nprobe probing, exact re-rank) is pure Catalyst
     and value-checked against the DuckDB twin. The k-means-trained
     quantizer (``cosine_topk_ivf``) shares all mechanics and is
-    recall-gated in tests/test_ivf.py."""
+    recall-gated in tests/test_ivf.py. Gated via ``ann_cosine_approx``."""
     from osm2shp_spark.operators.similarity import cosine_topk_ivf_flat
 
     register_driver_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     probes = emb.filter("vec_id % 50 = 0")
     return cosine_topk_ivf_flat(emb, probes, k=5, n_cells=16, nprobe=4)
+
+
+def _ann_approx_oracle() -> str:
+    lsh = cosine_topk_lsh_oracle(_EMB_CORPUS_SQL, _EMB_PROBES_SQL, k=5, dim=64)
+    return f"""
+SELECT 'lsh' AS method, t.* FROM ({lsh}) t
+UNION ALL
+SELECT 'ivf' AS method, t.* FROM ({_ivf_oracle()}) t
+"""
+
+
+@register("ann_cosine_approx", _ann_approx_oracle)
+def q_ann_cosine_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-NN strategies in ONE gate row (driver 50-entry
+    window; see way_assembly_strategies): banded sign-LSH and
+    deterministic-quantizer IVF, each value-checked against its own
+    full-pipeline DuckDB twin."""
+    lsh = q_ann_cosine_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "*"
+    )
+    ivf = q_ann_cosine_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "*"
+    )
+    return lsh.unionByName(ivf)
 
 
 # ---------------------------------------------------------------------------
@@ -1429,11 +1496,13 @@ SELECT 'v-' || lpad(CAST(i AS VARCHAR), 5, '0') AS video_id, frame_idx FROM f
 """
 
 
-@register("video_frame_fanout", _VIDEO_FANOUT_ORACLE)
 def q_video_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame fan-out rows (video_id, frame_idx) of the video sampler —
     the Spark-side explode plumbing value-checked against closed-form
-    SQL (frame content is fixture-codec territory, pytest-gated)."""
+    SQL (frame content is fixture-codec territory). Not separately
+    registered: it is a pure projection of the gated
+    ``video_frame_sample`` row (driver 50-entry window) — the
+    closed-form SQL twin is asserted in tests/test_multimodal.py."""
     return q_video_frame_sample(spark, sf_dir).select("video_id", "frame_idx")
 
 
@@ -1451,6 +1520,26 @@ def q_point_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_key", "s2_cell", "s2_token",
         *[f"hex_r{r}" for r in (7, 8, 9, 10, 11, 12)],
     )
+
+
+@register("adaptive_cells", lambda: golden.adaptive_cells_oracle(IMAGES_SQL))
+def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 adaptive cell splitting through the gate: points in hot hex
+    cells (count > threshold) re-index at the next-finer resolution,
+    iteratively (the fixture's dense cluster drives res 7 → 8 → 9, so
+    BOTH re-index iterations execute — asserted in tests/test_skew.py).
+    Only the hex ids are golden-injected; the hot-set decisions are
+    recomputed in independent SQL from the counts
+    (golden.adaptive_cells_oracle)."""
+    from osm2shp_spark.operators.skew import adaptive_cells
+
+    pts = synthetic_images(spark, sf_dir).filter("img_key % 20 = 0").select(
+        "img_key", "lon", "lat"
+    )
+    out = adaptive_cells(
+        pts, base_res=7, hot_threshold=20, max_extra_levels=2
+    )
+    return out.select("img_key", "cell_adaptive", "cell_res")
 
 
 @register("image_pip_classify", lambda: golden.image_pip_oracle(RECTS_SQL))
@@ -1502,10 +1591,10 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
-@register("events_sessionize", _SESSIONIZE_ORACLE)
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running-sum
-    windows — the batch form of the streaming session_window operator."""
+    windows — the batch form of the streaming session_window operator.
+    Gated via ``events_sessionize`` (batch+stream row)."""
     from pyspark.sql import Window
 
     register_driver_tables(spark, sf_dir)
@@ -1542,11 +1631,10 @@ FROM events GROUP BY 1, 2
 """
 
 
-@register("events_window_agg", _WINDOW_AGG_ORACLE)
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h windows (batch twin of the streaming operator).
     Sums in DECIMAL so cross-engine float addition order can't flip
-    low bits."""
+    low bits. Gated via ``events_window_agg`` (batch+stream row)."""
     register_driver_tables(spark, sf_dir)
     return (
         spark.table("events")
@@ -1605,7 +1693,6 @@ WHERE (session_end + {_SESSION_GAP_S}) * 1000
 """
 
 
-@register("events_stream_sessionize", _STREAM_SESSIONIZE_ORACLE)
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
     event-time timeouts): gap sessionization. The oracle replicates the
@@ -1613,7 +1700,8 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered projection drops total_value — a float sum accumulated
     in arrival order inside the state handler has no portable SQL twin
     — and the full row including it is batch-parity pytest-gated
-    (tests/test_stateful_streaming.py)."""
+    (tests/test_stateful_streaming.py). Gated via ``events_sessionize``
+    (batch+stream row)."""
     import os as _os
 
     from osm2shp_spark.streaming.stateful import run_sessionize_over_parquet
@@ -1621,6 +1709,41 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_over_parquet(
         spark, _os.path.join(sf_dir, "events.parquet"), name="q_sessions_out"
     ).select("user_id", "session_start", "session_end", "n_events")
+
+
+_SESSIONIZE_MODES_ORACLE = f"""
+SELECT 'batch' AS mode, user_id, session_start, session_end, n_events
+FROM ({_SESSIONIZE_ORACLE}) t
+UNION ALL
+SELECT 'stream' AS mode, user_id, session_start, session_end, n_events
+FROM ({_STREAM_SESSIONIZE_ORACLE}) t
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_MODES_ORACLE)
+def q_events_sessionize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch (lag + running-sum windows) AND custom stateful streaming
+    (applyInPandasWithState, event-time timeouts) sessionization in ONE
+    gate row. The two sides carry DIFFERENT oracles — the batch twin is
+    the plain closed-form SQL, the stream twin replicates the
+    watermark-cut closed-session semantics — so both implementations
+    stay independently value-checked. (The batch-only session_id
+    ordinal is covered by tests/test_streaming.py.)"""
+    batch = q_events_sessionize(spark, sf_dir).select(
+        F.lit("batch").alias("mode"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+    stream = q_events_stream_sessionize(spark, sf_dir).select(
+        F.lit("stream").alias("mode"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+    return batch.unionByName(stream)
 
 
 _STREAM_DEDUP_ORACLE = """
@@ -1644,13 +1767,13 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_window", _WINDOW_AGG_ORACLE)
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming path (readStream + watermark +
     window + availableNow backfill) over the events parquet — value-
     checked against the same DuckDB oracle as the batch twin (sums
     accumulate in DECIMAL inside the streaming agg, so the result is
-    bitwise engine- and batching-independent)."""
+    bitwise engine- and batching-independent). Gated via
+    ``events_window_agg`` (batch+stream row)."""
     import os as _os
 
     from osm2shp_spark.streaming.windows import run_stream_over_parquet
@@ -1658,6 +1781,29 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_over_parquet(
         spark, _os.path.join(sf_dir, "events.parquet"), name="q_stream_out"
     )
+
+
+_WINDOW_AGG_MODES_ORACLE = f"""
+SELECT 'batch' AS mode, t.* FROM ({_WINDOW_AGG_ORACLE}) t
+UNION ALL
+SELECT 'stream' AS mode, t.* FROM ({_WINDOW_AGG_ORACLE}) t
+"""
+
+
+@register("events_window_agg", _WINDOW_AGG_MODES_ORACLE)
+def q_events_window_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch AND Structured-Streaming tumbling-window aggregation in
+    ONE gate row (driver 50-entry window; see way_assembly_strategies):
+    both executions must independently reproduce the same DuckDB
+    oracle — streaming parity is therefore value-checked, not just
+    asserted batch-vs-stream."""
+    batch = q_events_window_agg(spark, sf_dir).select(
+        F.lit("batch").alias("mode"), "*"
+    )
+    stream = q_events_stream_window(spark, sf_dir).select(
+        F.lit("stream").alias("mode"), "*"
+    )
+    return batch.unionByName(stream)
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,20 @@ def test_adaptive_cells_split_hot_only(spark):
     assert all(res == 7 for (_, res) in over.index)
 
 
+def test_adaptive_cells_gate_exercises_both_reindex_levels(spark):
+    """The registered adaptive_cells gate query (sf0.01, base_res=7,
+    threshold=20) must actually take the hot-cell re-index branch at
+    BOTH extra levels — res 8 (first split) and res 9 (re-split of a
+    still-hot cell) — otherwise the gate row only evidences the cold
+    path."""
+    from conftest import SF_MED
+
+    from osm2shp_spark import queries as Q
+
+    pdf = Q.q_adaptive_cells(spark, SF_MED).toPandas()
+    assert set(pdf.cell_res.unique()) == {7, 8, 9}
+
+
 def test_lineage_digest_order_insensitive(spark):
     df = synthetic_images(spark, SF_SMALL).select("img_key", "image_id", "lon", "lat")
     part = df.withColumn("part_key", F.col("img_key") % 7)

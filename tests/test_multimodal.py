@@ -81,3 +81,23 @@ class TestVideo:
     def test_real_codec_is_gated(self):
         with pytest.raises(NotImplementedError):
             M.decode_video_frames(b"xxxx", "h264")
+
+    def test_frame_fanout_matches_closed_form_sql(self, spark):
+        """The fan-out's (video_id, frame_idx) rows vs the independent
+        closed-form DuckDB twin — the former registered
+        ``video_frame_fanout`` gate row, kept here after the registry
+        consolidated it into ``video_frame_sample`` (it is a pure
+        projection of that gated query)."""
+        import duckdb
+
+        from parity import assert_parity
+
+        from osm2shp_spark import queries as Q
+
+        con = duckdb.connect()
+        exp = con.execute(Q._VIDEO_FANOUT_ORACLE).df()
+        assert_parity(
+            Q.q_video_frame_fanout(spark, "/root/testdata/sf0.001"),
+            exp,
+            "video_frame_fanout",
+        )

@@ -157,7 +157,7 @@ def test_way_assembly_salted_plan_is_two_stage(spark):
     each with partial aggregation."""
     from osm2shp_spark import queries as Q
 
-    df = Q.REGISTRY["way_assembly_salted"][0](spark, SF_SMALL)
+    df = Q.q_way_assembly_salted(spark, SF_SMALL)
     p = _plan(df)
     assert "chunk_id" in p
     # collect_list aggregations surface as ObjectHashAggregate (or
@@ -183,7 +183,7 @@ def test_ivf_flat_plan_shape(spark):
     hash joins — never an unbroadcast cartesian."""
     from osm2shp_spark import queries as Q
 
-    p = _plan(Q.REGISTRY["ann_cosine_ivf"][0](spark, SF_SMALL))
+    p = _plan(Q.q_ann_cosine_ivf(spark, SF_SMALL))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the n_cells assignment
     assert "BroadcastHashJoin" in p  # the cell-candidate join

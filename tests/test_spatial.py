@@ -77,6 +77,29 @@ def test_knn_fallback_engages_and_stays_exact(spark):
     assert canon_rows(a) == canon_rows(b)
 
 
+def test_knn_broadcast_oversize_falls_back_to_shuffle(spark):
+    """knn_join_broadcast must guard its own driver collect: above the
+    feature budget it routes to the shuffle knn_join (identical rows)
+    instead of toPandas()-ing an unbounded table — protection for
+    direct callers, not just the knn_join_auto selector."""
+    from osm2shp_spark.operators.spatial import knn_join_broadcast
+
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    nodes = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select(
+        F.col("id").alias("node_id"), "lon", "lat"
+    ).limit(50)
+    over = knn_join_broadcast(imgs, nodes, k=2, max_broadcast_features=10)
+    under = knn_join_broadcast(imgs, nodes, k=2)
+    # the oversize call must NOT be the mapInPandas broadcast plan
+    plan = over._jdf.queryExecution().explainString(
+        over._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "MapInPandas" not in plan
+    assert canon_rows(over.toPandas()) == canon_rows(under.toPandas())
+
+
 def test_tile_stats_row_count_positive(spark):
     imgs = synthetic_images(spark, SF_SMALL)
     nodes = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select("id", "lon", "lat")
