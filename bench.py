@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 #: bump when the measured workload changes (codec/fixture/operator
 #: edits): accumulated best-of-run minima in BENCH/{scaling,headline}
 #: .json are only comparable within one workload version
-WORKLOAD = "v2-dcx-matmul"
+WORKLOAD = "v3-jvm-pnpoly-li8"
 
 #: cheap queries first: they double as JVM/python warmup so the heavy
 #: ones aren't charged JIT + worker-spawn time

@@ -61,21 +61,29 @@ def assemble_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
 
     Returns (way_id, layer, kind, n_pts, lons, lats) for every way that
     routes to a layer and fully resolves.
+
+    Shuffle diet: the (layer, kind) strings are coded as ONE tinyint
+    rule-pair index (``rules.WAY_PAIRS``) before the posexplode, so
+    every exploded ref row — and both shuffles (ref join + reassembly
+    groupBy) — carries 1 byte of classification instead of two ~10-20
+    byte strings; the pair decodes after the aggregate, one row per
+    way.
     """
+    from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
+
     classified = classify_ways(ways)
     exploded = classified.select(
         F.col("id").alias("way_id"),
-        "layer",
-        "kind",
+        F.expr(way_pair_idx_sql()).alias("_li"),
         "n_refs",
         F.posexplode("refs").alias("pos", "ref"),
     )
     build = staged_nodes(nodes)
     joined = exploded.join(build, exploded.ref == build.id, "inner").select(
-        "way_id", "layer", "kind", "n_refs", "pos", "lon", "lat"
+        "way_id", "_li", "n_refs", "pos", "lon", "lat"
     )
     return (
-        joined.groupBy("way_id", "layer", "kind", "n_refs")
+        joined.groupBy("way_id", "_li", "n_refs")
         .agg(
             F.count(F.lit(1)).alias("n_resolved"),
             F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"),
@@ -83,8 +91,8 @@ def assemble_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
         .filter(F.col("n_resolved") == F.col("n_refs"))
         .select(
             "way_id",
-            "layer",
-            "kind",
+            F.expr(pair_layer_sql("_li")).alias("layer"),
+            F.expr(pair_kind_sql("_li")).alias("kind"),
             F.col("n_refs").cast("int").alias("n_pts"),
             F.expr("transform(pts, p -> p.lon)").alias("lons"),
             F.expr("transform(pts, p -> p.lat)").alias("lats"),

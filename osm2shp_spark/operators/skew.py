@@ -40,24 +40,27 @@ def assemble_ways_salted(
     chunk summaries (≤ n_refs/chunk rows per way — 20 for a 20k-ref
     mega-way at the default chunk), flattens in chunk order.
     """
+    from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
+
     classified = classify_ways(ways)
+    # same tinyint (layer, kind) coding as assemble_ways: 1 byte of
+    # classification through the exploded join + BOTH groupBy shuffles
     exploded = classified.select(
         F.col("id").alias("way_id"),
-        "layer",
-        "kind",
+        F.expr(way_pair_idx_sql()).alias("_li"),
         "n_refs",
         F.posexplode("refs").alias("pos", "ref"),
     ).withColumn("chunk_id", (F.col("pos") / F.lit(chunk)).cast("long"))
     build = staged_nodes(nodes)
     joined = exploded.join(build, exploded.ref == build.id, "inner").select(
-        "way_id", "layer", "kind", "n_refs", "chunk_id", "pos", "lon", "lat"
+        "way_id", "_li", "n_refs", "chunk_id", "pos", "lon", "lat"
     )
-    chunks = joined.groupBy("way_id", "layer", "kind", "n_refs", "chunk_id").agg(
+    chunks = joined.groupBy("way_id", "_li", "n_refs", "chunk_id").agg(
         F.count(F.lit(1)).alias("chunk_n"),
         F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"),
     )
     return (
-        chunks.groupBy("way_id", "layer", "kind", "n_refs")
+        chunks.groupBy("way_id", "_li", "n_refs")
         .agg(
             F.sum("chunk_n").alias("n_resolved"),
             F.flatten(
@@ -69,13 +72,12 @@ def assemble_ways_salted(
         .filter(F.col("n_resolved") == F.col("n_refs"))
         .select(
             "way_id",
-            "kind",
-            "layer",
+            F.expr(pair_layer_sql("_li")).alias("layer"),
+            F.expr(pair_kind_sql("_li")).alias("kind"),
             F.col("n_refs").cast("int").alias("n_pts"),
             F.expr("transform(pts, p -> p.lon)").alias("lons"),
             F.expr("transform(pts, p -> p.lat)").alias("lats"),
         )
-        .select("way_id", "layer", "kind", "n_pts", "lons", "lats")
     )
 
 

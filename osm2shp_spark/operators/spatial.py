@@ -79,6 +79,133 @@ def with_tiles(
 #: broadcast budget for polygon rings (vertices ≈ 16 B each → ~160 MB)
 MAX_BROADCAST_VERTICES = 10_000_000
 
+#: longest ring the JVM higher-order-function refine handles before the
+#: operator falls back to the vectorized NumPy/Arrow refine (the HOF
+#: evaluates ~n interpreted edge tests per candidate row; NumPy's SIMD
+#: loop wins on very long rings, the JVM path wins everywhere else by
+#: never leaving the executor)
+MAX_JVM_RING_VERTS = 1024
+
+
+def pnpoly_sql(px: str, py: str, edges: str = "_edges") -> str:
+    """Even-odd ray-cast containment as a pure Spark SQL expression —
+    the exact PNPOLY kernel of :func:`functions.geometry.
+    points_in_polygon`, evaluated JVM-side via higher-order
+    ``filter`` + crossing-count parity, so the refine never crosses
+    the Python/Arrow channel.
+
+    Operates on a per-polygon EDGE array (``_with_ring_edges``:
+    struct<lons=x1, lats=y1, _x2, _y2> per edge, built ONCE on the
+    dimension side), so the per-candidate predicate is one small
+    lambda — no ``element_at``/``sequence`` index algebra in the hot
+    filter, which keeps the final join stage inside whole-stage
+    codegen limits.
+
+    Bit-parity with the NumPy kernel: identical IEEE operation order
+    (``xi = x1 + (py - y1)/(y2 - y1) * (x2 - x1)``; SQL ``/`` and
+    ``*`` associate left-to-right exactly like the NumPy expression),
+    identical half-open crossing convention, and horizontal edges
+    self-neutralize the same way (division by zero → ±Inf/NaN, the
+    crossing comparison is false, matching ``cond`` being false).
+    Rings with fewer than 3 vertices are never inside, as in the
+    kernel."""
+    crossing = (
+        f"((e.lats > {py}) != (e._y2 > {py})) AND "
+        f"({px} < e.lons + ({py} - e.lats) / (e._y2 - e.lats) * (e._x2 - e.lons))"
+    )
+    return (
+        f"(size({edges}) >= 3 AND "
+        f"(size(filter({edges}, e -> {crossing})) % 2) = 1)"
+    )
+
+
+def _with_ring_edges(polygons: DataFrame) -> DataFrame:
+    """Add ``_edges``: the ring's directed edge list (v_i → v_{i+1},
+    wrapping) as one array of structs, computed once per polygon on
+    the dimension side. Expects OPEN rings (see
+    ``_strip_closed_ring``).
+
+    Note: when the polygon source is itself a wide expression tree
+    (e.g. the synthetic fixtures), the fused dimension-side
+    WholeStageCodegen can exceed janino's 64 KB method limit and that
+    ONE tiny stage falls back to interpreted eval — harmless by
+    construction (it is the dimension side, linear in polygon count);
+    the hot point-side join + refine stage compiles normally."""
+    rot = lambda c: (  # noqa: E731 — rotate-left by one
+        f"concat(slice({c}, 2, greatest(size({c}) - 1, 0)), "
+        f"array(try_element_at({c}, 1)))"
+    )
+    return (
+        polygons.withColumn("_x2", F.expr(rot("lons")))
+        .withColumn("_y2", F.expr(rot("lats")))
+        .withColumn("_edges", F.expr("arrays_zip(lons, lats, _x2, _y2)"))
+        .drop("_x2", "_y2")
+    )
+
+
+def _axis_rect_sql(lons: str, lats: str) -> str:
+    """SQL twin of :func:`_is_axis_rect` on an OPEN 4-vertex ring: the
+    edges alternate vertical/horizontal (either winding, any starting
+    corner) ⟺ the vertices are the bbox corners in traversal order.
+    Degenerate (zero-area) rings also match both patterns but have an
+    empty strict-bbox interior, so routing them to the rect fast path
+    is exact. ``try_element_at``: codegen subexpression elimination
+    may evaluate the vertex probes before the size guard, and strict
+    ``element_at`` throws on shorter rings — NULL probes make every
+    equality NULL → the pattern is false, same routing."""
+    e = lambda c, i: f"try_element_at({c}, {i})"  # noqa: E731
+    p1 = (
+        f"{e(lons, 1)} = {e(lons, 2)} AND {e(lats, 2)} = {e(lats, 3)} AND "
+        f"{e(lons, 3)} = {e(lons, 4)} AND {e(lats, 4)} = {e(lats, 1)}"
+    )
+    p2 = (
+        f"{e(lats, 1)} = {e(lats, 2)} AND {e(lons, 2)} = {e(lons, 3)} AND "
+        f"{e(lats, 3)} = {e(lats, 4)} AND {e(lons, 4)} = {e(lons, 1)}"
+    )
+    return f"(size({lons}) = 4 AND (({p1}) OR ({p2})))"
+
+
+def _strip_closed_ring(polygons: DataFrame) -> DataFrame:
+    """Drop the closing duplicate vertex (first == last) from the ring
+    arrays — the same normalization the NumPy kernel applies per call,
+    done ONCE on the dimension side so the JVM refine expression works
+    on open rings. bbox min/max are unaffected."""
+    closed = (
+        (F.size("lons") >= 2)
+        & (F.element_at("lons", 1) == F.element_at("lons", -1))
+        & (F.element_at("lats", 1) == F.element_at("lats", -1))
+    )
+    return polygons.withColumn(
+        "lons",
+        F.when(closed, F.expr("slice(lons, 1, size(lons) - 1)")).otherwise(
+            F.col("lons")
+        ),
+    ).withColumn(
+        "lats",
+        F.when(closed, F.expr("slice(lats, 1, size(lats) - 1)")).otherwise(
+            F.col("lats")
+        ),
+    )
+
+
+def _refine_candidates_jvm(cand: DataFrame, out_cols: list[str]) -> DataFrame:
+    """Zero-Python exact refine: one pipelined JVM filter directly on
+    the join output — axis-rect rings take the strict-bbox fast test,
+    everything else the higher-order PNPOLY expression. No second read
+    of the candidate subtree (the rect/general split is a CASE, not a
+    plan fork), no Arrow round-trip, so the refine scales exactly like
+    the tile equi-join feeding it. The rect-ness flag ``_isrect`` was
+    evaluated once per polygon on the dimension side (see the callers)
+    — the per-candidate filter stays small enough for whole-stage
+    codegen."""
+    keep = (
+        "CASE WHEN _isrect THEN "
+        "(_px > _lon_min AND _px < _lon_max AND "
+        "_py > _lat_min AND _py < _lat_max) "
+        f"ELSE {pnpoly_sql('_px', '_py', '_edges')} END"
+    )
+    return cand.filter(F.expr(keep)).select(*out_cols)
+
 
 def pip_join(
     points: DataFrame,
@@ -88,6 +215,8 @@ def pip_join(
     tile_size: float = TILE_SIZE,
     broadcast_rings: bool | None = None,
     max_broadcast_vertices: int = MAX_BROADCAST_VERTICES,
+    refine: str = "auto",
+    max_jvm_ring_verts: int = MAX_JVM_RING_VERTS,
 ) -> DataFrame:
     """Inner spatial join: rows of ``points`` inside rows of ``polygons``.
 
@@ -97,27 +226,37 @@ def pip_join(
 
     Plan: polygons explode over their bbox tile rectangle (pure
     Catalyst ``sequence``+``explode`` — exact superset cover), points
-    compute their tile, equi-join on tile, bbox pre-cut, then exact
-    vectorized ray-cast refine in one ``mapInPandas`` pass.
+    compute their tile, equi-join on tile, bbox pre-cut, then the
+    exact ray-cast refine.
 
-    ``broadcast_rings=None`` (default) auto-selects by a size
-    estimate: one column-pruned ``(count, sum(size(lons)))`` aggregate
-    over the polygon side (the dimension side by construction; in
-    production the two numbers come from table stats, making the
-    pre-pass free). Under ``max_broadcast_vertices`` total ring
-    vertices, the ring coordinate arrays travel to the refine workers
-    as ONE numpy broadcast keyed by polygon id and the join rows carry
-    only scalars — measured ~2x on the refine stage (per-row array
-    columns decode to millions of python lists otherwise). Above the
-    budget the rings ride the join rows (no driver collect, no
-    broadcast OOM at 100x polygon scale). Pass True/False to pin a
-    path explicitly.
+    ``refine`` picks the refine engine (``'auto'`` by the polygon-side
+    max ring length, from the same one-aggregate pre-pass as the
+    broadcast estimate — both table stats in production):
+
+    - ``'jvm'`` (auto default up to ``max_jvm_ring_verts``-vertex
+      rings): the PNPOLY ray-cast runs as a higher-order SQL filter
+      pipelined straight after the join (:func:`pnpoly_sql`) — zero
+      Python workers, zero Arrow serde, bit-identical results to the
+      NumPy kernel. The ring arrays ride the (dimension-side) join
+      rows; under the vertex budget the whole tiled polygon side is
+      hash-broadcast so the big point table never shuffles at all.
+    - ``'arrow'`` (auto fallback for very long rings, where NumPy's
+      SIMD edge loop beats per-edge interpreted expressions): the
+      previous vectorized ``mapInPandas`` refine. There
+      ``broadcast_rings`` (None = auto by total-vertex budget)
+      decides whether rings travel as ONE numpy broadcast keyed by
+      polygon id (slim Arrow payload) or ride the join rows (no
+      driver collect at 100x polygon scale).
     """
+    est = polygons.agg(
+        F.sum(F.size("lons")).alias("verts"),
+        F.max(F.size("lons")).alias("max_verts"),
+    ).collect()[0]
+    total_verts = int(est["verts"] or 0)
+    if refine == "auto":
+        refine = "jvm" if int(est["max_verts"] or 0) <= max_jvm_ring_verts else "arrow"
     if broadcast_rings is None:
-        est = polygons.agg(
-            F.sum(F.size("lons")).alias("verts")
-        ).collect()[0]
-        broadcast_rings = int(est["verts"] or 0) <= max_broadcast_vertices
+        broadcast_rings = total_verts <= max_broadcast_vertices
     pts = with_tiles(points, tile_size=tile_size).select(
         *point_cols,
         F.col("lon").alias("_px"),
@@ -127,6 +266,8 @@ def pip_join(
     )
     ts = float(tile_size)
     poly_key = poly_cols[0]
+    if refine == "jvm":
+        polygons = _strip_closed_ring(polygons)
     polys = (
         polygons.withColumn("_lon_min", F.array_min("lons"))
         .withColumn("_lon_max", F.array_max("lons"))
@@ -149,11 +290,25 @@ def pip_join(
             ),
         )
     )
-    ring_cols = [] if broadcast_rings else ["lons", "lats"]
+    if refine == "jvm":
+        # rect-ness + edge list decided ONCE per polygon (dimension
+        # side), not per candidate — the refine filter stays one small
+        # lambda, inside whole-stage codegen limits
+        polys = _with_ring_edges(
+            polys.withColumn("_isrect", F.expr(_axis_rect_sql("lons", "lats")))
+        )
+        ring_cols = ["_edges", "_isrect"]
+    else:
+        ring_cols = [] if broadcast_rings else ["lons", "lats"]
     polys = polys.select(
         *poly_cols, *ring_cols,
         "_lon_min", "_lon_max", "_lat_min", "_lat_max", "tile_x", "tile_y",
     )
+    if refine == "jvm" and broadcast_rings:
+        # dimension side fits the budget → hash-broadcast the tiled
+        # polygon table: the point side never shuffles and the refine
+        # filter pipelines inside the scan stage
+        polys = F.broadcast(polys)
     cand = pts.join(polys, ["tile_x", "tile_y"], "inner").filter(
         (F.col("_px") >= F.col("_lon_min"))
         & (F.col("_px") <= F.col("_lon_max"))
@@ -161,6 +316,8 @@ def pip_join(
         & (F.col("_py") <= F.col("_lat_max"))
     )
     out_cols = list(point_cols) + list(poly_cols)
+    if refine == "jvm":
+        return _refine_candidates_jvm(cand, out_cols)
     return _refine_candidates(
         cand, points, polygons, poly_key, out_cols, broadcast_rings, ring_cols
     )
@@ -248,6 +405,8 @@ def pip_join_s2(
     max_level: int = 14,
     broadcast_rings: bool | None = None,
     max_broadcast_vertices: int = MAX_BROADCAST_VERTICES,
+    refine: str = "auto",
+    max_jvm_ring_verts: int = MAX_JVM_RING_VERTS,
 ) -> DataFrame:
     """PIP join prefiltered by S2 covering tokens instead of flat-grid
     tiles — the north rule's 'S2 covering tokens for point-in-polygon
@@ -290,9 +449,14 @@ def pip_join_s2(
             F.min("x0").alias("x0"),
             F.min("y0").alias("y0"),
             F.sum("verts").alias("verts"),
+            F.max("verts").alias("max_verts"),
         )
         .collect()[0]
     )
+    if refine == "auto":
+        refine = (
+            "jvm" if int(spans["max_verts"] or 0) <= max_jvm_ring_verts else "arrow"
+        )
     if broadcast_rings is None:
         broadcast_rings = int(spans["verts"] or 0) <= max_broadcast_vertices
     level = 1
@@ -327,7 +491,8 @@ def pip_join_s2(
         toks = S2.token(np.concatenate(ids))
         return pd.Series(np.split(toks, np.cumsum(lens)[:-1]))
 
-    ring_cols = [] if broadcast_rings else ["lons", "lats"]
+    if refine == "jvm":
+        polygons = _strip_closed_ring(polygons)
     polys = (
         polygons.withColumn("_lon_min", F.array_min("lons"))
         .withColumn("_lon_max", F.array_max("lons"))
@@ -339,11 +504,20 @@ def pip_join_s2(
                 cover_tokens("_lon_min", "_lat_min", "_lon_max", "_lat_max")
             ),
         )
-        .select(
-            *poly_cols, *ring_cols,
-            "_lon_min", "_lon_max", "_lat_min", "_lat_max", "_tok",
-        )
     )
+    if refine == "jvm":
+        polys = _with_ring_edges(
+            polys.withColumn("_isrect", F.expr(_axis_rect_sql("lons", "lats")))
+        )
+        ring_cols = ["_edges", "_isrect"]
+    else:
+        ring_cols = [] if broadcast_rings else ["lons", "lats"]
+    polys = polys.select(
+        *poly_cols, *ring_cols,
+        "_lon_min", "_lon_max", "_lat_min", "_lat_max", "_tok",
+    )
+    if refine == "jvm" and broadcast_rings:
+        polys = F.broadcast(polys)
     pts = points.select(
         *point_cols,
         F.col("lon").alias("_px"),
@@ -357,6 +531,8 @@ def pip_join_s2(
         & (F.col("_py") <= F.col("_lat_max"))
     )
     out_cols = list(point_cols) + list(poly_cols)
+    if refine == "jvm":
+        return _refine_candidates_jvm(cand, out_cols)
     return _refine_candidates(
         cand, points, polygons, poly_key, out_cols, broadcast_rings, ring_cols
     )

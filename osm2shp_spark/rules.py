@@ -132,3 +132,39 @@ def node_layer_sql() -> str:
 #: Width of the shapefile ``name`` attribute — shapelib silently
 #: truncates at 64 chars (osm/shapefile.cc:23); kept for strict parity.
 NAME_WIDTH = 64
+
+
+#: Distinct (layer, kind) routing outcomes for ways, in rule order —
+#: the assembly shuffle codes a routed way's classification as ONE
+#: tinyint index into this table instead of carrying the two strings
+#: through the exploded ref join + groupBy (a ~25% per-row shuffle
+#: byte cut on the flagship join), decoding after the aggregate.
+WAY_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    dict.fromkeys(
+        (r.layer, r.kind) for r in DEFAULT_RULES if r.kind in ("line", "polygon")
+    )
+)
+
+
+def way_pair_idx_sql(
+    layer_expr: str = "layer", kind_expr: str = "kind"
+) -> str:
+    """TINYINT index into :data:`WAY_PAIRS` for an already-classified
+    way (layer is non-null by construction after routing)."""
+    whens = [
+        f"WHEN {layer_expr} = '{lay}' AND {kind_expr} = '{kd}' THEN {i}"
+        for i, (lay, kd) in enumerate(WAY_PAIRS)
+    ]
+    return "CAST(CASE " + " ".join(whens) + " END AS TINYINT)"
+
+
+def pair_layer_sql(idx_expr: str) -> str:
+    """Decode the tinyint pair index back to the layer string."""
+    arr = ", ".join(f"'{lay}'" for lay, _ in WAY_PAIRS)
+    return f"element_at(array({arr}), CAST({idx_expr} AS INT) + 1)"
+
+
+def pair_kind_sql(idx_expr: str) -> str:
+    """Decode the tinyint pair index back to the kind string."""
+    arr = ", ".join(f"'{kd}'" for _, kd in WAY_PAIRS)
+    return f"element_at(array({arr}), CAST({idx_expr} AS INT) + 1)"

@@ -70,6 +70,39 @@ def test_pip_prefilter_is_equi_join(spark):
     assert "tile_x" in p and "tile_y" in p
 
 
+def test_assembly_shuffles_carry_tinyint_rule_index(spark):
+    """The (layer, kind) strings must NOT ride the exploded ref join /
+    reassembly shuffles — classification travels as the 1-byte _li
+    pair index and decodes after the aggregate."""
+    df = assemble_ways(
+        synthetic_nodes(spark, SF_SMALL), synthetic_ways(spark, SF_SMALL)
+    )
+    p = _plan(df)
+    assert "_li" in p
+    # decode arrays appear once, above the final aggregate
+    assert "roadbig_line" in p
+
+
+def test_pip_jvm_refine_never_leaves_the_jvm(spark):
+    """The default (short-ring) PIP plan must contain NO Python
+    execution node — the PNPOLY refine is a higher-order SQL filter —
+    and must hash-broadcast the tiled polygon dimension under the
+    vertex budget, so the point table neither shuffles nor crosses
+    the Arrow channel."""
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, SF_SMALL).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    p = _plan(pip_join(imgs, rects, ("image_id",), ("rect_id", "layer")))
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p  # point side: no shuffle
+
+
 def test_tile_stats_partial_aggregation(spark):
     imgs = synthetic_images(spark, SF_SMALL)
     places = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select("id", "lon", "lat")

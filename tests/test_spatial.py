@@ -65,6 +65,31 @@ def test_pip_general_polygons_vs_brute_force(spark):
     assert got == brute
 
 
+def test_pip_jvm_refine_equals_arrow_refine(spark):
+    """The zero-Python higher-order-function PNPOLY refine (auto
+    default for short rings) must be bit-identical to the vectorized
+    NumPy/Arrow refine on general polygons — same IEEE operation
+    order, same half-open crossing convention, same closed-ring
+    normalization."""
+    from osm2shp_spark.operators.spatial import pip_join
+    from osm2shp_spark.sources.synthetic import synthetic_rects
+
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, SF_SMALL)
+    mx = "(lon_min + lon_max) / 2"
+    my = "(lat_min + lat_max) / 2"
+    diamonds = rects.select(
+        "rect_id",
+        "layer",
+        F.expr(f"array(lon_min, {mx}, lon_max, {mx}, lon_min)").alias("lons"),
+        F.expr(f"array({my}, lat_min, {my}, lat_max, {my})").alias("lats"),
+    )
+    jvm = pip_join(imgs, diamonds, ("image_id",), ("rect_id",), refine="jvm")
+    arrow = pip_join(imgs, diamonds, ("image_id",), ("rect_id",), refine="arrow")
+    assert canon_rows(jvm.toPandas()) == canon_rows(arrow.toPandas())
+    assert jvm.count() > 0
+
+
 def test_knn_fallback_engages_and_stays_exact(spark):
     """Tiny tile size forces most points through the provable-radius
     escape; result must still equal brute force."""
