@@ -102,7 +102,14 @@ def _materialize(df) -> int:
     return df.count()
 
 
-def run_headline(sf_dir: str, master: str) -> dict:
+def run_headline(sf_dir: str, master: str, repeats: int = 2) -> dict:
+    """Per query: ``repeats`` back-to-back executions, keep the
+    fastest — the same steady-state-minimum estimator the scaling
+    workers use (min-of-3). Co-tenant stalls on this shared VM are
+    one-sided (only ever add time) and hit windows a loadavg check
+    can't see; the first execution doubles as that query's JVM/JIT +
+    python-worker warmup. The reported line is still a raw
+    measurement of THIS run, labeled with the protocol."""
     from osm2shp_spark import queries as Q
 
     spark = _spark(master, "bench_headline")
@@ -110,9 +117,13 @@ def run_headline(sf_dir: str, master: str) -> dict:
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn, _ = Q.REGISTRY[name]
-        t0 = time.time()
-        rows[name] = _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            rows[name] = _materialize(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     spark.stop()
     return {"timings": timings, "rows": rows}
 
@@ -574,7 +585,10 @@ def write_baseline_md(
         "accumulates): co-tenant stalls on this shared VM are one-sided",
         "— they only ever ADD time — so the minimum is the noise-robust",
         "estimator; single runs swing up to ~2.5x above it. Each",
-        "driver-round `BENCH_r{N}.json` line is one raw run.",
+        "driver-round `BENCH_r{N}.json` line is one raw run; since r4",
+        "it takes per-query best-of-2 (steady-state min, first run is",
+        "that query's warmup — the same estimator the scaling workers'",
+        "min-of-3 uses), labeled in its `protocol` field.",
         "",
         "| query | sec | rows |",
         "|---|---|---|",
@@ -884,6 +898,7 @@ def main() -> None:
         "unit": "sec",
         "queries": raw_timings,
         "sf": sf,
+        "protocol": "per-query best-of-2 (steady-state min; first run warms JVM)",
     }
     if scaling:
         out["scaling_efficiency_8_to_32"] = scaling["efficiency"]
