@@ -1,0 +1,69 @@
+"""Round-5 prep, part 2: decompose the reassembly groupBy (the 62% of
+way_assembly time that assembly_split.py attributed to shuffle 2).
+
+  agg_nosort : join + groupBy collect_list(struct)   (shuffle 2, no sort)
+  agg_sorted : + array_sort                          (adds the sort)
+  full       : + transform() lon/lat extraction      (the shipped operator)
+
+Same input/level as bench's scaling stage. Experiment only."""
+import os, sys, time
+os.chdir("/root/repo"); sys.path.insert(0, "/root/repo")
+import bench
+from pyspark.sql import functions as F
+from osm2shp_spark.operators.assemble import assemble_ways
+from osm2shp_spark.operators.classify import classify_ways, staged_nodes
+from osm2shp_spark.rules import way_pair_idx_sql
+from osm2shp_spark.sources.synthetic import synthetic_nodes, synthetic_ways
+
+spark = bench._spark_isolated(32, "assembly_split2")
+spark.conf.set("spark.sql.shuffle.partitions", "128")
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = "/root/testdata/sf0.1"
+R, par = 128, 128
+
+nodes = synthetic_nodes(spark, sf_dir).cache(); nodes.count()
+rep = F.explode(F.sequence(F.lit(1), F.lit(R))).alias("rep")
+ways_rep = (
+    synthetic_ways(spark, sf_dir)
+    .select("*", rep)
+    .withColumn("id", F.col("id") * R + F.col("rep"))
+    .drop("rep")
+    .repartition(par)
+    .cache()
+)
+ways_rep.count()
+
+def joined():
+    classified = classify_ways(ways_rep)
+    exploded = classified.select(
+        F.col("id").alias("way_id"),
+        F.expr(way_pair_idx_sql()).alias("_li"),
+        "n_refs",
+        F.posexplode("refs").alias("pos", "ref"),
+    )
+    build = staged_nodes(nodes)
+    return exploded.join(build, exploded.ref == build.id, "inner").select(
+        "way_id", "_li", "n_refs", "pos", "lon", "lat"
+    )
+
+def agg_nosort():
+    (joined().groupBy("way_id", "_li", "n_refs")
+     .agg(F.count(F.lit(1)).alias("n"), F.collect_list(F.struct("pos","lon","lat")).alias("pts"))
+     .filter(F.col("n") == F.col("n_refs")).count())
+
+def agg_sorted():
+    (joined().groupBy("way_id", "_li", "n_refs")
+     .agg(F.count(F.lit(1)).alias("n"), F.array_sort(F.collect_list(F.struct("pos","lon","lat"))).alias("pts"))
+     .filter(F.col("n") == F.col("n_refs")).count())
+
+def full():
+    assemble_ways(nodes, ways_rep).count()
+
+for name, fn in (("agg_nosort", agg_nosort), ("agg_sorted", agg_sorted), ("full", full)):
+    fn()
+    best = None
+    for _ in range(3):
+        t0 = time.time(); fn(); dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{name}: {best:.2f}s", flush=True)
+spark.stop()
