@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 #: bump when the measured workload changes (codec/fixture/operator
 #: edits): accumulated best-of-run minima in BENCH/{scaling,headline}
 #: .json are only comparable within one workload version
-WORKLOAD = "v3-jvm-pnpoly-li8"
+WORKLOAD = "v4-arrow50k-w1-si16"
 
 #: cheap queries first: they double as JVM/python warmup so the heavy
 #: ones aren't charged JIT + worker-spawn time
@@ -287,14 +287,20 @@ def _scaling_stages(spark, sf_dir: str, cores: int | None = None,
     n_ways = ways_rep.count()
     # integer point ids: the PIP/cell stages are arrow-bandwidth bound,
     # so the bench input uses the surrogate img_key (8B) instead of the
-    # string id (~16B) — same operator, realistic slim schema
+    # string id (~16B) — same operator, realistic slim schema.
+    # Width ncores x 1 (not x4): per-task Arrow/UDF setup is the
+    # cell stage's fixed cost, and the measured sweep
+    # (bench_experiments/arrow_sweep_{32c,8c}) shows x1 width + 50k
+    # batches 1.7-1.9x faster at BOTH fleet sizes — the production
+    # equivalent is sizing spark.sql.files.maxPartitionBytes so scan
+    # splits land one-per-core-wave, not four.
     pts = (
         synthetic_images(spark, sf_dir)
         .select("img_key", "lon", "lat")
         .select("*", F.explode(F.sequence(F.lit(1), F.lit(R))).alias("rep"))
         .withColumn("img_key", F.col("img_key") * R + F.col("rep"))
         .drop("rep")
-        .repartition(par)
+        .repartition(ncores)
         .cache()
     )
     n_pts = pts.count()
@@ -324,7 +330,14 @@ def _scaling_stages(spark, sf_dir: str, cores: int | None = None,
     return [
         ("image_decode", lambda: decode_stats(imgbig).count(), n_img),
         ("cell_index", mat_cells, n_pts),
-        ("way_assembly", lambda: assemble_ways(nodes, ways_rep).count(), n_ways),
+        # compact_pos: the synthetic ways cap at a few hundred refs
+        # (sources/synthetic.py), far under the smallint bound the
+        # auto-selector would prove from the same stat
+        (
+            "way_assembly",
+            lambda: assemble_ways(nodes, ways_rep, compact_pos=True).count(),
+            n_ways,
+        ),
         (
             "pip_refine",
             lambda: pip_join(pts, rects, ("img_key",), ("rect_id", "layer")).count(),

@@ -56,7 +56,9 @@ ASSEMBLED_SCHEMA = (
 )
 
 
-def assemble_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+def assemble_ways(
+    nodes: DataFrame, ways: DataFrame, compact_pos: bool = False
+) -> DataFrame:
     """General (pure-Catalyst) assembly path.
 
     Returns (way_id, layer, kind, n_pts, lons, lats) for every way that
@@ -68,16 +70,28 @@ def assemble_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     groupBy) — carries 1 byte of classification instead of two ~10-20
     byte strings; the pair decodes after the aggregate, one row per
     way.
+
+    ``compact_pos`` additionally carries ``pos``/``n_refs`` as smallint
+    through both exchanges (33 B → 29 B per post-join row; the
+    reassembly exchange is this stage's measured floor, SURVEY §7).
+    PRECONDITION: every way has ≤ 32767 refs — a non-ANSI smallint cast
+    wraps silently above that, corrupting vertex order. Callers must
+    prove the bound from data stats before enabling it;
+    :func:`assemble_ways_auto` does (its ``max_refs`` pre-pass), and
+    routes anything near the bound to the salted path anyway. The OSM
+    data model caps ways at 2 000 refs, so real extracts always
+    qualify.
     """
     from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
 
+    itype = "smallint" if compact_pos else "int"
     classified = classify_ways(ways)
     exploded = classified.select(
         F.col("id").alias("way_id"),
         F.expr(way_pair_idx_sql()).alias("_li"),
-        "n_refs",
+        F.col("n_refs").cast(itype).alias("n_refs"),
         F.posexplode("refs").alias("pos", "ref"),
-    )
+    ).withColumn("pos", F.col("pos").cast(itype))
     build = staged_nodes(nodes)
     joined = exploded.join(build, exploded.ref == build.id, "inner").select(
         "way_id", "_li", "n_refs", "pos", "lon", "lat"
@@ -199,7 +213,12 @@ def assemble_ways_auto(
     elif prefer_zero_shuffle and nodes.count() <= node_broadcast_limit:
         choice, out = "mapside", assemble_ways_mapside(nodes, ways)
     else:
-        choice, out = "general", assemble_ways(nodes, ways)
+        # the max_refs stat just proved the smallint pos bound (the
+        # compact_pos precondition) — the auto path always gets the
+        # slim exchange when it is provably safe
+        choice, out = "general", assemble_ways(
+            nodes, ways, compact_pos=max_refs <= 32767
+        )
     return (out, choice) if return_strategy else out
 
 

@@ -42,15 +42,26 @@ def assemble_ways_salted(
     """
     from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
 
+    if chunk > 32767:
+        raise ValueError("chunk must fit smallint in-chunk positions (<= 32767)")
     classified = classify_ways(ways)
     # same tinyint (layer, kind) coding as assemble_ways: 1 byte of
-    # classification through the exploded join + BOTH groupBy shuffles
-    exploded = classified.select(
-        F.col("id").alias("way_id"),
-        F.expr(way_pair_idx_sql()).alias("_li"),
-        "n_refs",
-        F.posexplode("refs").alias("pos", "ref"),
-    ).withColumn("chunk_id", (F.col("pos") / F.lit(chunk)).cast("long"))
+    # classification through the exploded join + BOTH groupBy shuffles.
+    # Exchange diet: global order = (chunk_id, pos % chunk), so only
+    # the smallint in-chunk offset rides the shuffles — the full int
+    # pos never leaves the map side (pos < n_refs can exceed smallint
+    # on mega-ways, pos % chunk < chunk never does). chunk_id as int
+    # (a mega-way needs n_refs > 2^31 * chunk to overflow it).
+    exploded = (
+        classified.select(
+            F.col("id").alias("way_id"),
+            F.expr(way_pair_idx_sql()).alias("_li"),
+            "n_refs",
+            F.posexplode("refs").alias("pos", "ref"),
+        )
+        .withColumn("chunk_id", (F.col("pos") / F.lit(chunk)).cast("int"))
+        .withColumn("pos", (F.col("pos") % F.lit(chunk)).cast("smallint"))
+    )
     build = staged_nodes(nodes)
     joined = exploded.join(build, exploded.ref == build.id, "inner").select(
         "way_id", "_li", "n_refs", "chunk_id", "pos", "lon", "lat"

@@ -558,6 +558,27 @@ def _is_axis_rect(rx: np.ndarray, ry: np.ndarray) -> bool:
 # N4: exact kNN nearest-feature join
 # ---------------------------------------------------------------------------
 
+def _estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a plan (the number the planner
+    compares against autoBroadcastJoinThreshold). Driver-side metadata
+    only — no job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _autobroadcast_threshold(spark) -> int:
+    """Session autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
+    return int(spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold())
+
+
+def _resolve_tile_window(spark, feats: DataFrame) -> bool:
+    """The knn_join window-spec gate: True (tile-prefixed window, the
+    exchange-reuse spec) exactly when the planner would NOT broadcast
+    the exploded feature side — threshold disabled, or Catalyst's size
+    estimate above it (the planner's own broadcast test)."""
+    thresh = _autobroadcast_threshold(spark)
+    return thresh < 0 or _estimated_plan_bytes(feats) > thresh
+
+
 def knn_join(
     points: DataFrame,
     features: DataFrame,
@@ -565,6 +586,7 @@ def knn_join(
     point_id: str = "image_id",
     feature_id: str = "node_id",
     tile_size: float = TILE_SIZE,
+    tile_window: bool | None = None,
 ) -> DataFrame:
     """Exact k nearest features per point → (point_id, rank, feature_id,
     dist2). Local equirectangular metric (see COS_REF), ties broken by
@@ -575,6 +597,21 @@ def knn_join(
     A point's result is provably exact when its kth distance is within
     the guaranteed-covered radius (one full tile ring in the scaled
     metric); the remainder falls back to a broadcast full search.
+
+    ``tile_window``: partition the top-k window by
+    ``(tile_x, tile_y, _pid)`` instead of ``_pid``. Identical results —
+    a point sits in exactly one tile, so the window groups are the
+    same — but in the shuffle-join regime (planet-scale feature table,
+    no broadcast) HashPartitioning(tile) already satisfies the
+    window's ClusteredDistribution (subset rule) and the
+    candidate-set-sized window exchange disappears entirely (measured
+    1.5x, bench_experiments/knn_window_reuse*.py); only the k-row-per-
+    point survivors shuffle into the summary groupBy. When the feature
+    side broadcasts (the small-dimension regime) candidates are NOT
+    tile-partitioned, the window must exchange either way, and the two
+    carried tile ints just cost ~10% — so ``None`` auto-picks by
+    comparing Catalyst's size estimate of the exploded feature side
+    against the session broadcast threshold (the planner's own test).
     """
     # the ±1-tile neighborhood explode rides the FEATURE side: a
     # feature in tile t is a candidate for points in t's 3x3 ring ⟺
@@ -602,14 +639,23 @@ def knn_join(
         "tile_y",
     )
     d2 = dist2_expr("_plon", "_plat", "_flon", "_flat")
+    if tile_window is None:
+        tile_window = _resolve_tile_window(points.sparkSession, feats)
+    cand_keys = ["tile_x", "tile_y"] if tile_window else []
     cand = pts.join(feats, ["tile_x", "tile_y"], "inner").select(
-        "_pid", "_plon", "_plat", "_fid", F.expr(d2).alias("dist2")
+        *cand_keys, "_pid", "_plon", "_plat", "_fid", F.expr(d2).alias("dist2")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_fid").asc())
+    w_cand = (
+        Window.partitionBy(*cand_keys, "_pid")
+        .orderBy(F.col("dist2").asc(), F.col("_fid").asc())
+        if tile_window
+        else w
+    )
     topk = (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w_cand))
         .filter(F.col("rank") <= k)
         .groupBy("_pid")
         .agg(

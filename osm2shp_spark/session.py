@@ -21,7 +21,14 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Arrow transfer for pandas UDFs / toPandas (the only Python paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Batch sizing, measured (bench_experiments/arrow_sweep_{32c,8c}):
+    # on the vectorized cell-index stage 50k-row batches beat the 10k
+    # default 1.3-1.9x at every fleet size/width (per-batch UDF setup
+    # amortizes); >=200k regresses (allocator pressure). Rows are the
+    # wrong cap for binary-heavy stages (50k x 1 MB images), so the
+    # byte cap below bounds mapInPandas batches at 128 MB regardless.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(128 * 1024 * 1024),
     # Deterministic timestamps vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Broadcast policy: node build sides at sandbox scale always fit;

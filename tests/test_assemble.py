@@ -182,3 +182,25 @@ class TestOrderInvariance:
         ways = synthetic_ways(spark, SF_SMALL)
         df = classify_ways(ways)
         assert df.filter(F.col("layer").isNull()).count() == 0
+
+
+class TestCompactPosEquivalence:
+    def test_compact_pos_same_result(self, spark):
+        nodes = synthetic_nodes(spark, SF_SMALL)
+        ways = synthetic_ways(spark, SF_SMALL)
+        a = assemble_ways(nodes, ways).toPandas()
+        b = assemble_ways(nodes, ways, compact_pos=True).toPandas()
+        assert canon_rows(a) == canon_rows(b)
+
+    def test_auto_enables_compact_under_bound(self, spark):
+        """The auto path proves max_refs <= 32767 from its stat pre-pass
+        and must produce identical rows with the slim exchange."""
+        from osm2shp_spark.operators.assemble import assemble_ways_auto
+
+        nodes = synthetic_nodes(spark, SF_SMALL)
+        ways = synthetic_ways(spark, SF_SMALL)
+        out, choice = assemble_ways_auto(nodes, ways, return_strategy=True)
+        assert choice == "general"
+        assert canon_rows(out.toPandas()) == canon_rows(
+            assemble_ways(nodes, ways).toPandas()
+        )

@@ -281,3 +281,116 @@ def test_pnpoly_sql_bit_parity_randomized(spark):
         .collect()
     }
     assert got == set(expect)
+
+
+class TestKnnTileWindow:
+    """The exchange-reuse window spec (tile_window) must be invisible in
+    results and visible in the plan (one fewer Exchange in the shuffle-
+    join regime)."""
+
+    def _inputs(self, spark):
+        imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+        nodes = (
+            synthetic_nodes(spark, SF_SMALL)
+            .filter("id > 0")
+            .select(F.col("id").alias("node_id"), "lon", "lat")
+            .limit(200)
+        )
+        return imgs, nodes
+
+    def test_tile_window_results_identical(self, spark):
+        imgs, nodes = self._inputs(spark)
+        a = knn_join(imgs, nodes, k=2, tile_window=True).toPandas()
+        b = knn_join(imgs, nodes, k=2, tile_window=False).toPandas()
+        assert canon_rows(a) == canon_rows(b)
+
+    def test_tile_window_results_identical_shuffle_regime(self, spark):
+        imgs, nodes = self._inputs(spark)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = knn_join(imgs, nodes, k=2, tile_window=True).toPandas()
+            b = knn_join(imgs, nodes, k=2, tile_window=False).toPandas()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert canon_rows(a) == canon_rows(b)
+
+    def test_tile_window_drops_an_exchange(self, spark, monkeypatch):
+        """With broadcast disabled, HashPartitioning(tile) satisfies the
+        tile-prefixed window's ClusteredDistribution (subset rule) — the
+        candidate-sized window exchange must disappear from the plan.
+        localCheckpoint is identity-patched (on the classic class —
+        instances override the pyspark.sql.DataFrame base) so the
+        pre-checkpoint subtree stays visible to explain."""
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        monkeypatch.setattr(
+            _DF, "localCheckpoint", lambda self, *a, **kw: self
+        )
+        imgs, nodes = self._inputs(spark)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def simple_plan(df) -> str:
+            # simple mode: one line per node, tree-adjacent — the
+            # child-chain scan below depends on that layout
+            return df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+
+        try:
+            pa = simple_plan(knn_join(imgs, nodes, k=2, tile_window=True))
+            pb = simple_plan(knn_join(imgs, nodes, k=2, tile_window=False))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        def exchange_under_window(plan: str, spec: str) -> bool:
+            """True if some row_number Window over ``spec`` has an
+            Exchange in its child chain before the join that feeds it —
+            i.e. the window re-shuffles the full candidate set."""
+            lines = plan.splitlines()
+            hits = []
+            for i, line in enumerate(lines):
+                if "row_number" not in line or f"windowspecdefinition({spec}" not in line:
+                    continue
+                for nxt in lines[i + 1 :]:
+                    if "Join" in nxt:
+                        hits.append(False)
+                        break
+                    if "Exchange" in nxt:
+                        hits.append(True)
+                        break
+            assert hits, f"no candidate window over {spec} found"
+            return any(hits)
+
+        # tile-prefixed window rides the join's HashPartitioning(tile):
+        # the full-candidate-set exchange must be gone ...
+        assert not exchange_under_window(pa, "tile_x")
+        # ... while the bare-_pid spec re-shuffles every candidate row
+        assert exchange_under_window(pb, "_pid")
+
+    def test_auto_gate_follows_broadcast_decision(self, spark):
+        from osm2shp_spark.operators.spatial import (
+            _resolve_tile_window,
+            with_tiles,
+        )
+
+        imgs, nodes = self._inputs(spark)
+        feats = with_tiles(nodes).select("node_id", "lon", "lat", "tile_x", "tile_y")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert _resolve_tile_window(spark, feats) is True
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+            assert _resolve_tile_window(spark, feats) is True
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8GB")
+            assert _resolve_tile_window(spark, feats) is False
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
