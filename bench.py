@@ -55,7 +55,7 @@ def _spark(master: str, app: str, extra: dict | None = None):
     )
 
 
-def _spark_isolated(cores: int, app: str):
+def _spark_isolated(cores: int, app: str, extra: dict | None = None):
     """Process-isolated executors on one box: ``local-cluster[n,4,mem]``
     launches n SEPARATE executor JVMs (own heap, own allocator, own
     python workers) with 4 cores each — the closest in-sandbox model of
@@ -90,6 +90,7 @@ def _spark_isolated(cores: int, app: str):
             # partial registration would serialize the first stages
             "spark.scheduler.minRegisteredResourcesRatio": "1.0",
             "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+            **(extra or {}),
         },
     )
 
