@@ -114,14 +114,30 @@ def assemble_ways(
     )
 
 
-def assemble_ways_mapside(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+def assemble_ways_mapside(
+    nodes: DataFrame,
+    ways: DataFrame,
+    max_broadcast_nodes: int | None = -1,
+) -> DataFrame:
     """Zero-shuffle fast path: broadcast node coords, assemble in place.
 
     Valid when the staged node projection fits in executor memory
     (id/lon/lat as three numpy arrays ≈ 24 B/node → ~4 GB per 10^8
     nodes). No explode, no join shuffle, no groupBy — each ways
     partition streams through one Arrow-batched ``mapInPandas``.
+
+    ``max_broadcast_nodes`` guards the driver collect (same contract as
+    :func:`~osm2shp_spark.operators.spatial.knn_join_broadcast`): above
+    the budget this falls back to the general :func:`assemble_ways`
+    (identical results) instead of OOMing the driver at 100x node
+    scale. Default ``-1`` means :data:`NODE_BROADCAST_LIMIT`; pass
+    ``None`` to skip the count pre-pass when the caller already
+    budget-checked (``assemble_ways_auto`` does).
     """
+    if max_broadcast_nodes == -1:
+        max_broadcast_nodes = NODE_BROADCAST_LIMIT
+    if max_broadcast_nodes is not None and nodes.count() > max_broadcast_nodes:
+        return assemble_ways(nodes, ways)
     spark = nodes.sparkSession
     build = staged_nodes(nodes).toPandas()
     ids = build["id"].to_numpy(np.int64)
@@ -211,7 +227,10 @@ def assemble_ways_auto(
 
         choice, out = "salted", assemble_ways_salted(nodes, ways)
     elif prefer_zero_shuffle and nodes.count() <= node_broadcast_limit:
-        choice, out = "mapside", assemble_ways_mapside(nodes, ways)
+        # budget already proven by the count above — skip the pre-pass
+        choice, out = "mapside", assemble_ways_mapside(
+            nodes, ways, max_broadcast_nodes=None
+        )
     else:
         # the max_refs stat just proved the smallint pos bound (the
         # compact_pos precondition) — the auto path always gets the

@@ -50,8 +50,9 @@ def assemble_ways_salted(
     # Exchange diet: global order = (chunk_id, pos % chunk), so only
     # the smallint in-chunk offset rides the shuffles — the full int
     # pos never leaves the map side (pos < n_refs can exceed smallint
-    # on mega-ways, pos % chunk < chunk never does). chunk_id as int
-    # (a mega-way needs n_refs > 2^31 * chunk to overflow it).
+    # on mega-ways, pos % chunk < chunk never does). chunk_id as int is
+    # always safe: pos comes from posexplode and is itself a 32-bit
+    # int, so chunk_id = pos / chunk <= 2^31 / chunk fits by construction.
     exploded = (
         classified.select(
             F.col("id").alias("way_id"),

@@ -574,9 +574,18 @@ def _resolve_tile_window(spark, feats: DataFrame) -> bool:
     """The knn_join window-spec gate: True (tile-prefixed window, the
     exchange-reuse spec) exactly when the planner would NOT broadcast
     the exploded feature side — threshold disabled, or Catalyst's size
-    estimate above it (the planner's own broadcast test)."""
-    thresh = _autobroadcast_threshold(spark)
-    return thresh < 0 or _estimated_plan_bytes(feats) > thresh
+    estimate above it (the planner's own broadcast test).
+
+    The size probe uses classic-only JVM internals (``_jdf``); under
+    Spark Connect they don't exist, so degrade to ``True`` — correct
+    in both regimes (identical results either way; in the broadcast
+    regime the two carried tile ints cost ~10%, vs raising on every
+    Connect call)."""
+    try:
+        thresh = _autobroadcast_threshold(spark)
+        return thresh < 0 or _estimated_plan_bytes(feats) > thresh
+    except Exception:
+        return True
 
 
 def knn_join(
@@ -598,20 +607,21 @@ def knn_join(
     the guaranteed-covered radius (one full tile ring in the scaled
     metric); the remainder falls back to a broadcast full search.
 
-    ``tile_window``: partition the top-k window by
+    ``tile_window``: key the per-point top-k aggregate by
     ``(tile_x, tile_y, _pid)`` instead of ``_pid``. Identical results —
-    a point sits in exactly one tile, so the window groups are the
-    same — but in the shuffle-join regime (planet-scale feature table,
-    no broadcast) HashPartitioning(tile) already satisfies the
-    window's ClusteredDistribution (subset rule) and the
-    candidate-set-sized window exchange disappears entirely (measured
-    1.5x, bench_experiments/knn_window_reuse*.py); only the k-row-per-
-    point survivors shuffle into the summary groupBy. When the feature
-    side broadcasts (the small-dimension regime) candidates are NOT
-    tile-partitioned, the window must exchange either way, and the two
-    carried tile ints just cost ~10% — so ``None`` auto-picks by
-    comparing Catalyst's size estimate of the exploded feature side
-    against the session broadcast threshold (the planner's own test).
+    a point sits in exactly one tile, so the groups are the same — but
+    in the shuffle-join regime (planet-scale feature table, no
+    broadcast) HashPartitioning(tile) already satisfies the aggregate's
+    ClusteredDistribution (subset rule) and candidates never leave
+    their join partition (measured 4x at sf0.1,
+    bench_experiments/knn_tile_density.log; plan-asserted in
+    tests/test_plans.py). When the feature side broadcasts (the
+    small-dimension regime) the point table is instead pre-partitioned
+    by ``_pid`` so the broadcast join preserves the clustering the
+    aggregate needs — 1x point rows on the wire, nothing post-join.
+    ``None`` auto-picks by comparing Catalyst's size estimate of the
+    exploded feature side against the session broadcast threshold (the
+    planner's own test).
     """
     # the ±1-tile neighborhood explode rides the FEATURE side: a
     # feature in tile t is a candidate for points in t's 3x3 ring ⟺
@@ -641,34 +651,65 @@ def knn_join(
     d2 = dist2_expr("_plon", "_plat", "_flon", "_flat")
     if tile_window is None:
         tile_window = _resolve_tile_window(points.sparkSession, feats)
+    # Per-point top-k as an AGGREGATE (slice(array_sort(collect_list)))
+    # instead of a row_number window. Equivalent ordering — array_sort
+    # on struct(dist2, _fid) is the same (dist2 ASC, _fid ASC) total
+    # order the window used — but the physical plan is much cheaper:
+    # the window path pays a map-side UnsafeExternalSorter sort of the
+    # FULL candidate set (string point ids in the sort key) before
+    # Spark 4's WindowGroupLimit(Partial) can truncate it; the agg
+    # path replaces that one big row sort with a codegen'd array_sort
+    # per point (~ring-count elements each). Measured at sf0.1
+    # local[32] (bench_experiments/knn_tile_density.log): shuffle
+    # regime 5.56s -> 1.36s, broadcast regime 8.09s -> 2.04s.
+    #
+    # Exchange accounting per regime (the 100 TB story):
+    # - shuffle regime (tile_window=True): groupBy(tile_x, tile_y,
+    #   _pid) reuses the join's HashPartitioning(tile) via the subset
+    #   rule — candidates NEVER cross the wire (plan-asserted in
+    #   tests/test_plans.py), only the k survivors per point move on.
+    # - broadcast regime: repartition the POINT table by _pid before
+    #   the join (1x point rows on the wire — less than the window
+    #   path's truncated candidate exchange) so the broadcast join
+    #   preserves HashPartitioning(_pid) and the agg needs no
+    #   post-join exchange either.
+    if tile_window:
+        cand_src, agg_keys = pts, ["tile_x", "tile_y", "_pid"]
+    else:
+        cand_src, agg_keys = pts.repartition("_pid"), ["_pid"]
     cand_keys = ["tile_x", "tile_y"] if tile_window else []
-    cand = pts.join(feats, ["tile_x", "tile_y"], "inner").select(
-        *cand_keys, "_pid", "_plon", "_plat", "_fid", F.expr(d2).alias("dist2")
+    cand = cand_src.join(feats, ["tile_x", "tile_y"], "inner").select(
+        *cand_keys, "_pid", "_fid", F.expr(d2).alias("dist2")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_fid").asc())
-    w_cand = (
-        Window.partitionBy(*cand_keys, "_pid")
-        .orderBy(F.col("dist2").asc(), F.col("_fid").asc())
-        if tile_window
-        else w
-    )
     topk = (
-        cand.withColumn("rank", F.row_number().over(w_cand))
-        .filter(F.col("rank") <= k)
-        .groupBy("_pid")
+        cand.groupBy(*agg_keys)
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.max("dist2").alias("_maxd"),
-            F.collect_list(F.struct("rank", "_fid", "dist2")).alias("_hits"),
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist2", "_fid"))), 1, k
+            ).alias("_top")
+        )
+        .select(
+            "_pid",
+            F.size("_top").alias("_n"),
+            F.element_at("_top", -1)["dist2"].alias("_maxd"),
+            F.expr(
+                "transform(_top, (p, i) -> struct("
+                "cast(i + 1 as int) as rank, p._fid as _fid, p.dist2 as dist2))"
+            ).alias("_hits"),
         )
         # Referenced three times downstream (solved / anti-join /
-        # fallback). NOT .persist(): caching pins the subtree to a
-        # non-AQE plan (canChangeCachedPlanOutputPartitioning=false),
-        # measured 3x slower. localCheckpoint materializes the tiny
-        # per-point summary once with AQE intact (measured ~11% win).
-        .localCheckpoint()
+        # fallback), so materialize once. With the old window plan,
+        # localCheckpoint beat persist (AQE pinning cost 3x); with the
+        # agg plan the economics flip — re-measured end-to-end at
+        # sf0.1 local[32]: persist 1.32s vs localCheckpoint 4.94s vs
+        # recompute-3x 6.14s (the checkpoint's rdd-compile pays a
+        # non-AQE pass over the whole subtree; the cached plan is
+        # already exchange-free). MEMORY_AND_DISK default spills the
+        # per-point summary at scale instead of OOMing.
+        .persist()
     )
     # guaranteed covered radius: one tile in every direction; lon tiles
     # shrink by COS_REF in the scaled metric

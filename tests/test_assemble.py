@@ -159,6 +159,21 @@ class TestMapsidePathEquivalence:
         b = assemble_ways_mapside(nodes, ways).toPandas()
         assert canon_rows(a) == canon_rows(b)
 
+    def test_over_budget_falls_back_to_general_path(self, spark):
+        """A direct call above the node-broadcast budget must NOT
+        collect the node table to the driver (the 100x-scale OOM): it
+        routes to the general Catalyst path with identical rows."""
+        nodes = synthetic_nodes(spark, SF_SMALL)
+        ways = synthetic_ways(spark, SF_SMALL)
+        a = assemble_ways(nodes, ways).toPandas()
+        b = assemble_ways_mapside(nodes, ways, max_broadcast_nodes=10).toPandas()
+        assert canon_rows(a) == canon_rows(b)
+        # the fallback plan is the shuffle join, not mapInPandas
+        plan = assemble_ways_mapside(
+            nodes, ways, max_broadcast_nodes=10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+
 
 class TestOrderInvariance:
     def test_input_order_invariance(self, spark):

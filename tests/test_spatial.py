@@ -317,16 +317,21 @@ class TestKnnTileWindow:
 
     def test_tile_window_drops_an_exchange(self, spark, monkeypatch):
         """With broadcast disabled, HashPartitioning(tile) satisfies the
-        tile-prefixed window's ClusteredDistribution (subset rule) — the
-        candidate-sized window exchange must disappear from the plan.
-        localCheckpoint is identity-patched (on the classic class —
-        instances override the pyspark.sql.DataFrame base) so the
-        pre-checkpoint subtree stays visible to explain."""
+        tile-keyed top-k aggregate's ClusteredDistribution (subset
+        rule) — candidates must never re-shuffle between the join and
+        the aggregate. localCheckpoint is identity-patched (on the
+        classic class — instances override the pyspark.sql.DataFrame
+        base) so the pre-checkpoint subtree stays visible to explain."""
         from pyspark.sql.classic.dataframe import DataFrame as _DF
 
         monkeypatch.setattr(
             _DF, "localCheckpoint", lambda self, *a, **kw: self
         )
+        monkeypatch.setattr(_DF, "persist", lambda self, *a, **kw: self)
+        # earlier knn tests leave the persisted topk in the
+        # CacheManager; it would substitute InMemoryRelation for the
+        # matching subtree here and hide the aggregate from explain
+        spark.catalog.clearCache()
         imgs, nodes = self._inputs(spark)
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -345,30 +350,37 @@ class TestKnnTileWindow:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
-        def exchange_under_window(plan: str, spec: str) -> bool:
-            """True if some row_number Window over ``spec`` has an
-            Exchange in its child chain before the join that feeds it —
-            i.e. the window re-shuffles the full candidate set."""
+        def exchange_under_topk_agg(plan: str, key_marker: str) -> bool:
+            """True if the top-k aggregate (the only collect_list agg in
+            knn_join) re-shuffles candidates: walking down from each
+            FINAL collect_list aggregate whose keys contain
+            ``key_marker``, an Exchange before the partial aggregate
+            means the candidate set crossed the wire."""
             lines = plan.splitlines()
             hits = []
             for i, line in enumerate(lines):
-                if "row_number" not in line or f"windowspecdefinition({spec}" not in line:
+                if (
+                    "collect_list" not in line
+                    or "partial_collect_list" in line
+                    or key_marker not in line.split("functions=")[0]
+                ):
                     continue
                 for nxt in lines[i + 1 :]:
-                    if "Join" in nxt:
+                    if "partial_collect_list" in nxt:
                         hits.append(False)
                         break
                     if "Exchange" in nxt:
                         hits.append(True)
                         break
-            assert hits, f"no candidate window over {spec} found"
+            assert hits, f"no top-k aggregate keyed by {key_marker} found"
             return any(hits)
 
-        # tile-prefixed window rides the join's HashPartitioning(tile):
+        # tile-keyed aggregate rides the join's HashPartitioning(tile):
         # the full-candidate-set exchange must be gone ...
-        assert not exchange_under_window(pa, "tile_x")
-        # ... while the bare-_pid spec re-shuffles every candidate row
-        assert exchange_under_window(pb, "_pid")
+        assert not exchange_under_topk_agg(pa, "tile_x")
+        # ... while the bare-_pid aggregate under a forced shuffle join
+        # re-shuffles every candidate row (the config the gate avoids)
+        assert exchange_under_topk_agg(pb, "_pid")
 
     def test_auto_gate_follows_broadcast_decision(self, spark):
         from osm2shp_spark.operators.spatial import (
@@ -388,9 +400,3 @@ class TestKnnTileWindow:
             assert _resolve_tile_window(spark, feats) is False
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
