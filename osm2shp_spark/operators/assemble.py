@@ -25,7 +25,12 @@ Scale notes (100 TB design point):
   ``ref`` (sort-merge at scale; AQE flips to broadcast when the staged
   node projection fits under the threshold) and the reassembly
   shuffles on ``way_id``. Map-side partial ``collect_list`` runs
-  before the second shuffle.
+  before the second shuffle. Two opt-in exchange diets
+  (``compact_pos``, ``quantized`` — see :func:`assemble_ways`) cut the
+  bytes through both shuffles; the default stage already measures
+  within 2% of the raw ``repartition(way_id)`` floor on this box
+  (bench_experiments/assembly_bytediet.log), so the diets matter only
+  where the exchange crosses a real network.
 - ``assemble_ways_mapside`` is the zero-shuffle fast path for when the
   staged nodes fit in executor memory (broadcast dict of two numpy
   arrays): one ``mapInPandas`` pass does lookup + assembly in place,
@@ -57,7 +62,8 @@ ASSEMBLED_SCHEMA = (
 
 
 def assemble_ways(
-    nodes: DataFrame, ways: DataFrame, compact_pos: bool = False
+    nodes: DataFrame, ways: DataFrame, compact_pos: bool = False,
+    quantized: bool = False,
 ) -> DataFrame:
     """General (pure-Catalyst) assembly path.
 
@@ -81,6 +87,25 @@ def assemble_ways(
     routes anything near the bound to the salted path anyway. The OSM
     data model caps ways at 2 000 refs, so real extracts always
     qualify.
+
+    ``quantized`` packs (lon, lat) into ONE bigint through both
+    exchanges — ``(lonI << 32) | (latI & 0xffffffff)`` with
+    ``I = round(coord * 1e7)`` — decoded after the aggregate. One
+    UnsafeRow slot instead of two on every post-join row, and 2-field
+    structs instead of 3 in the partial collect_list buffers (the
+    dominant exchange bytes). Measured at the scaling-stage shape
+    (bench_experiments/assembly_bytediet.{py,log}, minima over 3 runs):
+    NO local gain — the default operator already sits within 2% of the
+    raw ``repartition(way_id)`` floor (3.26 s vs 3.19 s; packed 3.69 s)
+    because this box's loopback exchange is memory-bus-bound, not
+    wire-byte-bound. The ~25% buffer-byte cut is the relevant quantity
+    only where the exchange crosses a real network (unmeasurable in
+    this sandbox) — hence opt-in, never default. PRECONDITION:
+    coordinates are 1e-7-degree fixed point — exactly the OSM native
+    model (PBF spec granularity=100 nanodegrees; the reference's sqlite
+    store keeps the same doubles, osm/point_database.cc), so every
+    PBF/XML-ingested node qualifies bit-losslessly; arbitrary-precision
+    inputs must keep the default.
     """
     from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
 
@@ -93,14 +118,37 @@ def assemble_ways(
         F.posexplode("refs").alias("pos", "ref"),
     ).withColumn("pos", F.col("pos").cast(itype))
     build = staged_nodes(nodes)
+    if quantized:
+        build = build.select(
+            "id",
+            F.expr(
+                "shiftleft(cast(round(lon * 1e7) as bigint), 32) | "
+                "(cast(round(lat * 1e7) as bigint) & 4294967295)"
+            ).alias("c"),
+        )
+        coord_cols, pt = ["c"], F.struct("pos", "c")
+        # decode replicates the PBF formula bit-for-bit (sources/
+        # osmpbf.py:215: 1e-9 * (granularity * value), granularity
+        # 100): integer n*100 is exact in double (≤1.8e11 < 2^53),
+        # then ONE multiply rounding — identical to ingest, so the
+        # roundtrip reproduces PBF-decoded doubles exactly. Sign
+        # extension via arithmetic shifts, not casts (ANSI-safe).
+        lons = "transform(pts, p -> shiftright(p.c, 32) * 100L * 1e-9)"
+        lats = (
+            "transform(pts, p -> "
+            "shiftright(shiftleft(p.c, 32), 32) * 100L * 1e-9)"
+        )
+    else:
+        coord_cols, pt = ["lon", "lat"], F.struct("pos", "lon", "lat")
+        lons, lats = "transform(pts, p -> p.lon)", "transform(pts, p -> p.lat)"
     joined = exploded.join(build, exploded.ref == build.id, "inner").select(
-        "way_id", "_li", "n_refs", "pos", "lon", "lat"
+        "way_id", "_li", "n_refs", "pos", *coord_cols
     )
     return (
         joined.groupBy("way_id", "_li", "n_refs")
         .agg(
             F.count(F.lit(1)).alias("n_resolved"),
-            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"),
+            F.array_sort(F.collect_list(pt)).alias("pts"),
         )
         .filter(F.col("n_resolved") == F.col("n_refs"))
         .select(
@@ -108,8 +156,8 @@ def assemble_ways(
             F.expr(pair_layer_sql("_li")).alias("layer"),
             F.expr(pair_kind_sql("_li")).alias("kind"),
             F.col("n_refs").cast("int").alias("n_pts"),
-            F.expr("transform(pts, p -> p.lon)").alias("lons"),
-            F.expr("transform(pts, p -> p.lat)").alias("lats"),
+            F.expr(lons).alias("lons"),
+            F.expr(lats).alias("lats"),
         )
     )
 
@@ -199,6 +247,7 @@ def assemble_ways_auto(
     mega_threshold: int = MEGA_WAY_THRESHOLD,
     prefer_zero_shuffle: bool = False,
     return_strategy: bool = False,
+    quantized: bool = False,
 ) -> DataFrame:
     """Strategy selector for the flagship join — the size-estimate
     promise of the module docstring, wired into the hot path:
@@ -234,9 +283,12 @@ def assemble_ways_auto(
     else:
         # the max_refs stat just proved the smallint pos bound (the
         # compact_pos precondition) — the auto path always gets the
-        # slim exchange when it is provably safe
+        # slim exchange when it is provably safe. ``quantized`` is
+        # caller-asserted (PBF/XML-ingested coords are 1e-7 fixed
+        # point by construction; see assemble_ways) — a data property
+        # no cheap stat can prove, so it is never auto-enabled.
         choice, out = "general", assemble_ways(
-            nodes, ways, compact_pos=max_refs <= 32767
+            nodes, ways, compact_pos=max_refs <= 32767, quantized=quantized
         )
     return (out, choice) if return_strategy else out
 
