@@ -673,13 +673,24 @@ def knn_join(
     #   path's truncated candidate exchange) so the broadcast join
     #   preserves HashPartitioning(_pid) and the agg needs no
     #   post-join exchange either.
+    # - BOTH regimes scan the point table exactly once: the tile join
+    #   is LEFT outer, so zero-candidate points reach the persisted
+    #   topk summary and the brute-fallback set is read off that
+    #   summary instead of a second full-table anti-join scan.
     if tile_window:
         cand_src, agg_keys = pts, ["tile_x", "tile_y", "_pid"]
     else:
         cand_src, agg_keys = pts.repartition("_pid"), ["_pid"]
     cand_keys = ["tile_x", "tile_y"] if tile_window else []
-    cand = cand_src.join(feats, ["tile_x", "tile_y"], "inner").select(
-        *cand_keys, "_pid", "_fid", F.expr(d2).alias("dist2")
+    # LEFT join, not inner: a point whose 3x3 ring holds no feature
+    # still gets one (null-candidate) row, so EVERY point appears in
+    # the topk summary below and the unresolved set can be read off
+    # that persisted summary — the big point table is scanned exactly
+    # ONCE (the old inner-join shape needed a second full scan for the
+    # fallback anti-join; at 10^12-point scale that second scan is the
+    # single largest avoidable cost in the operator)
+    cand = cand_src.join(feats, ["tile_x", "tile_y"], "left").select(
+        *cand_keys, "_pid", "_plon", "_plat", "_fid", F.expr(d2).alias("dist2")
     )
     from pyspark.sql import Window
 
@@ -687,14 +698,31 @@ def knn_join(
     topk = (
         cand.groupBy(*agg_keys)
         .agg(
+            # when() guards the null-candidate rows of the left join:
+            # when -> NULL entries, which collect_list skips
             F.slice(
-                F.array_sort(F.collect_list(F.struct("dist2", "_fid"))), 1, k
-            ).alias("_top")
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_fid").isNotNull(),
+                            F.struct("dist2", "_fid"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top"),
+            F.first("_plon").alias("_plon"),
+            F.first("_plat").alias("_plat"),
         )
         .select(
             "_pid",
+            "_plon",
+            "_plat",
             F.size("_top").alias("_n"),
-            F.element_at("_top", -1)["dist2"].alias("_maxd"),
+            # try_: _top is EMPTY for zero-candidate points (ANSI
+            # element_at would raise on the out-of-range index)
+            F.expr("try_element_at(_top, -1)")["dist2"].alias("_maxd"),
             F.expr(
                 "transform(_top, (p, i) -> struct("
                 "cast(i + 1 as int) as rank, p._fid as _fid, p.dist2 as dist2))"
@@ -721,9 +749,12 @@ def knn_join(
         F.col("h._fid").alias(feature_id),
         F.col("h.dist2").alias("dist2"),
     )
-    # fallback: full broadcast search for unresolved points
-    unresolved = pts.join(
-        resolved.select("_pid"), "_pid", "left_anti"
+    # fallback: full broadcast search for unresolved points, read off
+    # the persisted summary — NOT a second scan of the point table.
+    # (_n < k) covers the zero-candidate points (their _maxd is null,
+    # and k >= 1), so the predicate is null-safe without coalesce.
+    unresolved = topk.filter(
+        (F.col("_n") < k) | (F.col("_maxd") > F.lit(rho2))
     ).select("_pid", "_plon", "_plat")
     allfeats = features.select(
         F.col(feature_id).alias("_fid"),
