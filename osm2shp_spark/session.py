@@ -29,6 +29,18 @@ DEFAULT_CONFS: dict[str, str] = {
     # byte cap below bounds mapInPandas batches at 128 MB regardless.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
     "spark.sql.execution.arrow.maxBytesPerBatch": str(128 * 1024 * 1024),
+    # Object-aggregate (collect_list/collect_set) hash-map size before
+    # the per-task sort fallback. The 128-key Spark default exists
+    # because object buffers are opaque to the memory manager, but it
+    # makes every grouped-collect stage (kNN top-k, way assembly) sort
+    # its FULL input per task — the exact row sort the aggregate
+    # rewrite removed. 64k keys keeps hash aggregation for realistic
+    # per-task group counts while bounding worst-case buffer memory to
+    # ~64 MB/task at KB-scale groups (measured: knn_places execution 2
+    # in a fresh JVM 10.7s -> 4.4s, way_assembly cold 11.5s -> 5.0s;
+    # steady state equal or better — the sort path's extra cost is
+    # JIT-heavy and per-task-volume-proportional).
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
     # Deterministic timestamps vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Broadcast policy: node build sides at sandbox scale always fit;
