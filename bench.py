@@ -33,6 +33,11 @@ sys.path.insert(0, REPO)
 #: (session.py) changes the way_assembly stage's aggregate execution
 #: at every level — so the isolated studies re-seed under a fresh tag
 #: with a fresh pinned batch (v4 minima in git history at 59ad57a).
+#: (Tag named for the 64k value first landed; the default was then
+#: tightened to 8192 — stage behavior is identical at both: the
+#: scaling way_assembly stage runs ~147k groups/task, past EITHER
+#: threshold into the same sort fallback, and every headline stage
+#: runs <5k groups/task, hash-active under either. Minima comparable.)
 WORKLOAD = "v5-hashagg64k"
 WORKLOAD_HEADLINE = "v5.1-knn-singlescan"
 
@@ -926,7 +931,10 @@ def main() -> None:
                     q
                 ) == headline["rows"].get(q):
                     headline["timings"][q] = min(headline["timings"][q], sec)
-        headline["notes"] = prior.get("notes", [])
+            # notes carry measurement narrative tied to THIS sf_dir +
+            # workload tag; a re-seeded or different-scale run must not
+            # inherit claims about numbers it didn't produce
+            headline["notes"] = prior.get("notes", [])
     with open(headline_json, "w") as f:
         json.dump(
             {

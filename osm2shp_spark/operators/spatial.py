@@ -25,6 +25,7 @@ The oracle comparison (vs brute force SQL) checks this end to end.
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -577,14 +578,16 @@ def _resolve_tile_window(spark, feats: DataFrame) -> bool:
     estimate above it (the planner's own broadcast test).
 
     The size probe uses classic-only JVM internals (``_jdf``); under
-    Spark Connect they don't exist, so degrade to ``True`` — correct
-    in both regimes (identical results either way; in the broadcast
-    regime the two carried tile ints cost ~10%, vs raising on every
-    Connect call)."""
+    Spark Connect they don't exist (AttributeError), so degrade to
+    ``True`` — correct in both regimes (identical results either way;
+    in the broadcast regime the two carried tile ints cost ~10%, vs
+    raising on every Connect call). Only that signature is caught:
+    a real JVM/Py4J failure should surface, not silently flip the
+    plan choice."""
     try:
         thresh = _autobroadcast_threshold(spark)
         return thresh < 0 or _estimated_plan_bytes(feats) > thresh
-    except Exception:
+    except AttributeError:
         return True
 
 
@@ -613,9 +616,9 @@ def knn_join(
     in the shuffle-join regime (planet-scale feature table, no
     broadcast) HashPartitioning(tile) already satisfies the aggregate's
     ClusteredDistribution (subset rule) and candidates never leave
-    their join partition (measured 4x at sf0.1,
-    bench_experiments/knn_tile_density.log; plan-asserted in
-    tests/test_plans.py). When the feature side broadcasts (the
+    their join partition (measured 4x at sf0.1 during the r5 rewrite,
+    commit 3cd18e5; plan-asserted in tests/test_spatial.py
+    TestKnnTileWindow). When the feature side broadcasts (the
     small-dimension regime) the point table is instead pre-partitioned
     by ``_pid`` so the broadcast join preserves the clustering the
     aggregate needs — 1x point rows on the wire, nothing post-join.
@@ -660,14 +663,15 @@ def knn_join(
     # Spark 4's WindowGroupLimit(Partial) can truncate it; the agg
     # path replaces that one big row sort with a codegen'd array_sort
     # per point (~ring-count elements each). Measured at sf0.1
-    # local[32] (bench_experiments/knn_tile_density.log): shuffle
-    # regime 5.56s -> 1.36s, broadcast regime 8.09s -> 2.04s.
+    # local[32] during the r5 rewrite (commit 3cd18e5): topk-stage
+    # shuffle regime 5.56s -> 1.36s, broadcast regime 8.09s -> 2.04s.
     #
     # Exchange accounting per regime (the 100 TB story):
     # - shuffle regime (tile_window=True): groupBy(tile_x, tile_y,
     #   _pid) reuses the join's HashPartitioning(tile) via the subset
     #   rule — candidates NEVER cross the wire (plan-asserted in
-    #   tests/test_plans.py), only the k survivors per point move on.
+    #   tests/test_spatial.py TestKnnTileWindow), only the k survivors
+    #   per point move on.
     # - broadcast regime: repartition the POINT table by _pid before
     #   the join (1x point rows on the wire — less than the window
     #   path's truncated candidate exchange) so the broadcast join
@@ -773,7 +777,25 @@ def knn_join(
             "dist2",
         )
     )
-    return solved.unionByName(brute)
+    out = solved.unionByName(brute)
+    # Tie the cached summary's lifetime to the result: CacheManager
+    # holds persisted plans until explicit unpersist (ContextCleaner
+    # only reclaims RDD-level state), so without this a long-lived
+    # session calling knn_join in a loop accumulates one O(points)
+    # cache entry per call. When the caller drops the result, the
+    # summary unpersists; a child plan derived from the result and
+    # kept past it recomputes (correct, just uncached).
+    weakref.finalize(out, _unpersist_quietly, topk)
+    return out
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    """Best-effort unpersist for weakref.finalize hooks — at interpreter
+    shutdown or after SparkSession.stop() the JVM side may be gone."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 #: broadcast budget for the feature side of kNN (rows ≈ 24 B each)

@@ -704,7 +704,13 @@ def q_way_assembly_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    return _assembly_scalar_projection(assemble_ways_mapside(nodes, ways))
+    # max_broadcast_nodes=None: the gate fixture's node count is
+    # bounded by construction (sources/synthetic.py), and the default
+    # guard's count() pre-pass would re-run the synthetic generation
+    # pipeline — a second full input pass — just to prove it
+    return _assembly_scalar_projection(
+        assemble_ways_mapside(nodes, ways, max_broadcast_nodes=None)
+    )
 
 
 _TILE_JOIN_ORACLE = f"""

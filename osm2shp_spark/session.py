@@ -34,13 +34,18 @@ DEFAULT_CONFS: dict[str, str] = {
     # because object buffers are opaque to the memory manager, but it
     # makes every grouped-collect stage (kNN top-k, way assembly) sort
     # its FULL input per task — the exact row sort the aggregate
-    # rewrite removed. 64k keys keeps hash aggregation for realistic
-    # per-task group counts while bounding worst-case buffer memory to
-    # ~64 MB/task at KB-scale groups (measured: knn_places execution 2
-    # in a fresh JVM 10.7s -> 4.4s, way_assembly cold 11.5s -> 5.0s;
-    # steady state equal or better — the sort path's extra cost is
-    # JIT-heavy and per-task-volume-proportional).
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
+    # rewrite removed (measured: knn_places execution 2 in a fresh JVM
+    # 10.7s -> 4.4s, way_assembly cold 11.5s -> 5.0s; steady state
+    # equal or better). 8192 keys covers the engine's per-task group
+    # counts at 2-3x-cores shuffle width (hundreds to ~5k groups/task
+    # across the gated + benched workloads) while bounding worst-case
+    # UNTRACKED buffer memory by the largest group this engine builds:
+    # a max-size OSM way (2000 refs x ~24 B struct ~ 48 KB) gives
+    # 8192 x 48 KB ~ 384 MB/task at the adversarial
+    # every-group-maximal extreme, vs multi-GB at 64k keys. Beyond
+    # 8192 in-memory groups the sort fallback engages — the
+    # memory-safe behavior wanted at that cardinality anyway.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "8192",
     # Deterministic timestamps vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Broadcast policy: node build sides at sandbox scale always fit;

@@ -102,6 +102,27 @@ def test_knn_fallback_engages_and_stays_exact(spark):
     assert canon_rows(a) == canon_rows(b)
 
 
+def test_knn_summary_cache_released_with_result(spark):
+    """knn_join persists its per-point top-k summary; the cache entry
+    must die with the returned DataFrame (weakref.finalize), not leak
+    one O(points) CacheManager entry per call for the session
+    lifetime."""
+    import gc
+
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    nodes = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select(
+        F.col("id").alias("node_id"), "lon", "lat"
+    ).limit(50)
+    spark.catalog.clearCache()
+    out = knn_join(imgs, nodes, k=2)
+    assert out.count() > 0
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0  # summary cached while held
+    del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() == 0  # released with the result
+
+
 def test_knn_broadcast_oversize_falls_back_to_shuffle(spark):
     """knn_join_broadcast must guard its own driver collect: above the
     feature budget it routes to the shuffle knn_join (identical rows)
