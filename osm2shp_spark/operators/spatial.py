@@ -25,7 +25,6 @@ The oracle comparison (vs brute force SQL) checks this end to end.
 
 from __future__ import annotations
 
-import weakref
 from typing import Iterator
 
 import numpy as np
@@ -777,25 +776,35 @@ def knn_join(
             "dist2",
         )
     )
-    out = solved.unionByName(brute)
-    # Tie the cached summary's lifetime to the result: CacheManager
-    # holds persisted plans until explicit unpersist (ContextCleaner
-    # only reclaims RDD-level state), so without this a long-lived
-    # session calling knn_join in a loop accumulates one O(points)
-    # cache entry per call. When the caller drops the result, the
-    # summary unpersists; a child plan derived from the result and
-    # kept past it recomputes (correct, just uncached).
-    weakref.finalize(out, _unpersist_quietly, topk)
-    return out
+    _register_summary(topk)
+    return solved.unionByName(brute)
 
 
-def _unpersist_quietly(df: DataFrame) -> None:
-    """Best-effort unpersist for weakref.finalize hooks — at interpreter
-    shutdown or after SparkSession.stop() the JVM side may be gone."""
-    try:
-        df.unpersist(blocking=False)
-    except Exception:
-        pass
+#: live persisted top-k summaries, oldest first. CacheManager holds
+#: persisted plans until explicit unpersist (ContextCleaner only
+#: reclaims RDD-level state), so without a bound a long-lived session
+#: calling knn_join in a loop accumulates one O(points) cache entry
+#: per call. A result-lifetime hook (weakref.finalize on the returned
+#: DataFrame) is the obvious alternative but breaks under composition:
+#: any ``.select()``/``union`` wrapper drops the Python object before
+#: materialization and the summary would unpersist pre-execution. The
+#: LRU bound keeps caching intact for any consumption pattern of the
+#: most recent calls while capping live entries.
+_MAX_LIVE_SUMMARIES = 4
+_LIVE_SUMMARIES: list[DataFrame] = []
+
+
+def _register_summary(df: DataFrame) -> None:
+    _LIVE_SUMMARIES.append(df)
+    while len(_LIVE_SUMMARIES) > _MAX_LIVE_SUMMARIES:
+        old = _LIVE_SUMMARIES.pop(0)
+        try:
+            # evicted entries recompute if a held result is
+            # re-executed later — correct, just uncached
+            old.unpersist(blocking=False)
+        except Exception:
+            # session stopped / JVM gone: nothing left to release
+            pass
 
 
 #: broadcast budget for the feature side of kNN (rows ≈ 24 B each)

@@ -102,25 +102,29 @@ def test_knn_fallback_engages_and_stays_exact(spark):
     assert canon_rows(a) == canon_rows(b)
 
 
-def test_knn_summary_cache_released_with_result(spark):
-    """knn_join persists its per-point top-k summary; the cache entry
-    must die with the returned DataFrame (weakref.finalize), not leak
-    one O(points) CacheManager entry per call for the session
-    lifetime."""
-    import gc
+def test_knn_summary_cache_bounded_across_calls(spark):
+    """knn_join persists its per-point top-k summary; repeated calls in
+    one session must not leak one O(points) CacheManager entry per call
+    — the live-summary registry evicts beyond its bound, and eviction
+    does not break a still-held result (it recomputes, bit-identical)."""
+    from osm2shp_spark.operators import spatial as S
 
     imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
     nodes = synthetic_nodes(spark, SF_SMALL).filter("id > 0").select(
         F.col("id").alias("node_id"), "lon", "lat"
     ).limit(50)
     spark.catalog.clearCache()
-    out = knn_join(imgs, nodes, k=2)
-    assert out.count() > 0
+    S._LIVE_SUMMARIES.clear()
+    first = knn_join(imgs, nodes, k=2)
+    expect = canon_rows(first.toPandas())
+    for _ in range(S._MAX_LIVE_SUMMARIES + 2):
+        assert knn_join(imgs, nodes, k=2).count() > 0
+    assert len(S._LIVE_SUMMARIES) == S._MAX_LIVE_SUMMARIES
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0  # summary cached while held
-    del out
-    gc.collect()
-    assert jsc.getPersistentRDDs().size() == 0  # released with the result
+    assert jsc.getPersistentRDDs().size() <= S._MAX_LIVE_SUMMARIES
+    # `first`'s summary was evicted above; re-executing it must
+    # recompute and still match
+    assert canon_rows(first.toPandas()) == expect
 
 
 def test_knn_broadcast_oversize_falls_back_to_shuffle(spark):
