@@ -36,8 +36,14 @@ _KNUTH = 2654435761  # 2^32 * golden ratio, the classic multiplicative mix
 
 def bucket_sql(key_expr: str) -> str:
     """0-999 bucket from the product's high bits, identical arithmetic
-    in Spark SQL and DuckDB (exact: product < 2^53, divisor 2^20)."""
-    prod = f"((({key_expr}) % 1048576) * {_KNUTH})"
+    in Spark SQL and DuckDB (exact: product < 2^53, divisor 2^20).
+
+    The residue is folded nonnegative (both engines' % keeps the
+    dividend's sign): a signed key (snowflake-style ids, hash-derived
+    keys) would otherwise yield a negative bucket that passes every
+    `bucket < rate` quota and lands in 'train' unconditionally."""
+    nonneg = f"(((({key_expr}) % 1048576) + 1048576) % 1048576)"
+    prod = f"({nonneg} * {_KNUTH})"
     return f"(CAST(FLOOR({prod} / 1048576.0) AS BIGINT) % 1000)"
 
 

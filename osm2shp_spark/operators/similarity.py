@@ -38,8 +38,13 @@ def _norm2_expr(a: str) -> str:
 
 
 def cosine_sim_col(a: str, b: str) -> F.Column:
+    # nullif: a zero-norm (all-zero) embedding yields NULL cosine —
+    # the DuckDB twins' x/0 semantics — instead of aborting the job
+    # under Spark 4's default ANSI mode. Nonzero denominators pass
+    # through bit-identical.
     return F.expr(
-        f"{_dot_expr(a, b)} / (sqrt({_norm2_expr(a)}) * sqrt({_norm2_expr(b)}))"
+        f"{_dot_expr(a, b)} / "
+        f"nullif(sqrt({_norm2_expr(a)}) * sqrt({_norm2_expr(b)}), 0.0e0)"
     )
 
 
@@ -54,7 +59,9 @@ def norm_col(a: str) -> F.Column:
 
 
 def cosine_from_norms(a: str, b: str, na: str, nb: str) -> F.Column:
-    return F.expr(f"{_dot_expr(a, b)} / ({na} * {nb})")
+    # nullif: see cosine_sim_col — NULL for zero-norm vectors instead
+    # of an ANSI divide-by-zero abort; bit-identical otherwise.
+    return F.expr(f"{_dot_expr(a, b)} / nullif({na} * {nb}, 0.0e0)")
 
 
 def duck_dot(a: str, b: str) -> str:
@@ -241,6 +248,10 @@ def train_centroids(
         .toPandas()
     )
     m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    if m.shape[1] != dim:
+        raise ValueError(
+            f"embedding width {m.shape[1]} != declared dim {dim}"
+        )
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     cent = m[:: max(len(m) // n_cells, 1)][:n_cells].copy()
     for _ in range(iters):

@@ -32,10 +32,6 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 PUNCT_CHARS = (".", ",", "!", "?", ";")
 
 
-def _toks_sql(text_col: str) -> str:
-    return f"split(lower({text_col}), ' ')"
-
-
 def _toks_sql_duck(text_col: str) -> str:
     return f"string_split(lower({text_col}), ' ')"
 
@@ -146,7 +142,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     len_score = F.when((n_chars >= 100) & (n_chars <= 2000), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
-    punct_ratio = punct.cast("double") / n_chars
+    # NULL ratio for empty text, matching the DuckDB twin (x/0 -> NULL
+    # there; under Spark 4's default ANSI mode a bare division would
+    # instead abort the job on the first empty document). The NULL
+    # falls through to the same ELSE 0.5 branch in both engines.
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars)
     punct_score = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.5))
     stop_score = F.when(stop_hits >= 2, F.lit(1.0)).otherwise(F.lit(0.5))
     q = (len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3).alias("quality")

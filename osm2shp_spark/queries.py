@@ -1664,10 +1664,13 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: closed sessions only: the event-time timeout fires once the FINAL
-#: watermark (max event time in ms minus the 10 s delay) passes
-#: session_end + gap; sessions still open when the stream drains stay
-#: in state and are NOT emitted — the oracle replicates that cut
+#: closed sessions only. Two distinct close paths, replicated exactly:
+#: a session followed by a later event for the same user (beyond the
+#: gap) closes IN-BATCH and is emitted unconditionally; only each
+#: user's LAST session depends on the event-time timeout, which fires
+#: once the FINAL watermark (max event time in ms minus the 10 s
+#: delay) passes session_end + gap — a last session still open when
+#: the stream drains stays in state and is NOT emitted.
 _STREAM_SESSIONIZE_ORACLE = f"""
 WITH e AS (
     SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets
@@ -1693,8 +1696,12 @@ agg AS (
            min(ets) AS session_start, max(ets) AS session_end
     FROM sessions GROUP BY user_id, sid
 )
-SELECT user_id, session_start, session_end, n_events FROM agg
-WHERE (session_end + {_SESSION_GAP_S}) * 1000
+SELECT user_id, session_start, session_end, n_events FROM (
+    SELECT *, max(session_end) OVER (PARTITION BY user_id) AS last_end
+    FROM agg
+) _c
+WHERE session_end < last_end
+   OR (session_end + {_SESSION_GAP_S}) * 1000
       < (SELECT max_ems - 10000 FROM mx)
 """
 

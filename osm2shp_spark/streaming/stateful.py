@@ -66,20 +66,29 @@ def _sessionize(
             elif ets - cur[1] > SESSION_GAP_S:
                 closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                 cur = [ets, ets, 0, 0.0]
+            # min: an in-watermark event from a LATER batch can still
+            # be older than the stored session's start; the batch twin
+            # sorts globally, so parity requires absorbing it into
+            # session_start, not just session_end
+            cur[0] = min(cur[0], ets)
             cur[1] = max(cur[1], ets)
             cur[2] += 1
             cur[3] += float(val)
-        state.update(tuple(cur))
-        # close the open tail once the watermark passes its gap window;
-        # clamp above the current watermark — a late batch can leave
-        # session_end + gap at/behind it, and setTimeoutTimestamp
-        # throws on timestamps <= watermark
-        state.setTimeoutTimestamp(
-            max(
-                (cur[1] + SESSION_GAP_S) * 1000,
-                state.getCurrentWatermarkMs() + 1,
-            )
-        )
+        expiry_ms = (cur[1] + SESSION_GAP_S) * 1000
+        if expiry_ms <= state.getCurrentWatermarkMs():
+            # already expired per event time (reachable only when the
+            # watermark delay exceeds the session gap): emit now —
+            # registering a timeout instead would clamp to watermark+1,
+            # and if no further data ever advances the watermark the
+            # session would stay open forever
+            closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+            state.remove()
+        else:
+            state.update(tuple(cur))
+            # close the open tail once the watermark passes its gap
+            # window (setTimeoutTimestamp throws on timestamps <= the
+            # current watermark, hence the expiry guard above)
+            state.setTimeoutTimestamp(expiry_ms)
 
     if closed:
         yield pd.DataFrame(

@@ -162,3 +162,79 @@ def test_multimodal_pairs_canonical_election(spark):
     # languages are from the closed set (or undetermined)
     assert set(df.pred_lang) <= {"de", "en", "es", "fr", "zh", "und"}
     assert (df.n_bpe_tokens > 0).all()
+
+
+def test_quality_score_empty_text_no_ansi_crash(spark):
+    """An empty document must not abort the job under Spark 4's default
+    ANSI mode (the punct/n_chars division): NULL punct_ratio, score via
+    the ELSE branches — matching the DuckDB twin's x/0 -> NULL."""
+    import duckdb
+
+    from osm2shp_spark.operators.text import quality_score, quality_score_oracle
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the quick brown fox, it is fine.")], "doc_id INT, text STRING"
+    )
+    got = quality_score(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.punct_ratio.isna()[0]
+    want = (
+        duckdb.sql(
+            quality_score_oracle(
+                "SELECT 1 AS doc_id, '' AS text "
+                "UNION ALL SELECT 2, 'the quick brown fox, it is fine.'"
+            )
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.quality.tolist() == want.quality.tolist()
+    assert got.stop_hits.tolist() == want.stop_hits.tolist()
+
+
+def test_cosine_topk_zero_norm_vector_no_ansi_crash(spark):
+    """An all-zero embedding must not abort the job (ANSI divide by
+    zero in the norm product): its cosine is NULL and it ranks below
+    every real neighbor."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero-norm
+        (4, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = cosine_topk(df, df.filter("vec_id = 1"), k=3).toPandas()
+    assert len(out) == 3
+    by_rank = out.sort_values("rank")
+    # the zero vector is last (NULL cosine sorts after real values desc)
+    assert by_rank.neighbor_id.tolist()[-1] == 3
+    assert np.isnan(by_rank.cosine.tolist()[-1])
+
+
+def test_stratified_sample_negative_keys_respect_quota(spark):
+    """Signed keys (snowflake-style ids) must still land in [0, 1000)
+    buckets and obey the stratum quota — and the shared bucket_sql text
+    must agree with DuckDB on the same rows."""
+    import duckdb
+
+    from osm2shp_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_oracle,
+    )
+
+    rows = [(i, "en") for i in range(-500, 0)] + [(i, "de") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    got = stratified_sample(docs).toPandas()
+    assert (got.bucket >= 0).all() and (got.bucket < 1000).all()
+    for _, r in got.iterrows():
+        assert r.bucket < {"en": 200, "de": 500}[r.lang]
+    # en quota 200/1000 must actually bite on the negative-key stratum
+    assert 0 < (got.lang == "en").sum() < 500
+    src = (
+        "SELECT * FROM (SELECT UNNEST(range(-500, 0)) AS doc_id, 'en' AS lang) "
+        "UNION ALL "
+        "SELECT * FROM (SELECT UNNEST(range(0, 500)) AS doc_id, 'de' AS lang)"
+    )
+    want = duckdb.sql(stratified_sample_oracle(src)).df()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "bucket", "split"]].values.tolist()))
+    assert key(got) == key(want)
