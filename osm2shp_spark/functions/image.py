@@ -44,8 +44,12 @@ def decode_ppm(data: bytes) -> np.ndarray:
         while i < len(data) and data[i : i + 1].isspace():
             i += 1
         if data[i : i + 1] == b"#":  # comment line
-            while data[i : i + 1] != b"\n":
+            while i < len(data) and data[i : i + 1] != b"\n":
                 i += 1
+            if i >= len(data):
+                # a truncated header comment must raise, not spin on
+                # the forever-empty out-of-range slice
+                raise ValueError("truncated PPM header")
             continue
         j = i
         while j < len(data) and not data[j : j + 1].isspace():
@@ -313,14 +317,21 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _block_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic block-mean downscale to (out_h, out_w)."""
+    """Deterministic block-mean resize to (out_h, out_w). Blocks are
+    clamped to at least one source pixel: when an output axis exceeds
+    the source (upscale), consecutive edges coincide and a bare slice
+    mean would be NaN (empty slice) — the clamp degrades that axis to
+    nearest-neighbor sampling instead, which is the correct limit of
+    the block mean."""
     h, w = gray.shape
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     out = np.empty((out_h, out_w), np.float64)
     for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
         for j in range(out_w):
-            out[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
     return out
 
 

@@ -22,8 +22,12 @@ HEX_RESOLUTIONS = (7, 8, 9, 10, 11, 12)
 
 
 def s2_cell_udf(level: int):
+    # (lon, lat) argument order, matching every sibling factory in
+    # this module — the underlying s2.cell_id takes (lat, lon), and a
+    # transposed call is a valid point elsewhere on the globe, so an
+    # order mismatch here would fail silently
     @F.pandas_udf(T.LongType())
-    def _f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
         ids = s2.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
         return pd.Series(ids.astype(np.int64))
 
@@ -31,8 +35,9 @@ def s2_cell_udf(level: int):
 
 
 def s2_token_udf(level: int):
+    # (lon, lat) — see s2_cell_udf
     @F.pandas_udf(T.StringType())
-    def _f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
         ids = s2.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
         return pd.Series(s2.token(ids))
 
@@ -119,7 +124,19 @@ def way_cells_udf(s2_level: int, hex_resolutions: tuple[int, ...]):
         for lo, la in zip(lons, lats):
             lo = np.asarray(lo, np.float64)
             la = np.asarray(la, np.float64)
+            if len(lo) == 0:
+                # degenerate geometry: empty cover, no cells (a bare
+                # min() here would raise inside the adaptive loop)
+                out["s2_cover_level"].append(s2_level)
+                out["s2_cover_tokens"].append([])
+                for r in hex_resolutions:
+                    out[f"hex_r{r}_cells"].append([])
+                continue
             level = s2_level
+            # adapt DOWNWARD only while the cover budget is exceeded;
+            # level 0 is a single face cell and always fits, so any
+            # other ValueError must surface — a bare retry loop here
+            # once spun forever on degenerate input
             while True:
                 try:
                     ids = s2.bbox_covering(
@@ -129,7 +146,9 @@ def way_cells_udf(s2_level: int, hex_resolutions: tuple[int, ...]):
                     )
                     break
                 except ValueError:
-                    level -= 2
+                    if level <= 0:
+                        raise
+                    level = max(level - 2, 0)
             out["s2_cover_level"].append(level)
             out["s2_cover_tokens"].append(list(s2.token(ids)))
             for r in hex_resolutions:

@@ -136,8 +136,15 @@ def zkey_ranges(
     exactness; the intervals only exist to prune the scan."""
 
     def _q(v: float, lo: float, hi: float) -> int:
+        # math.floor, NOT int(): the write path (quantize_col /
+        # quantize_sql) floors, and int() truncates toward zero —
+        # below-bbox corners would pre-clamp to 0 instead of -1, an
+        # off-by-one only the clamp happens to hide today. One
+        # formula, one rounding.
+        import math
+
         n = (1 << bits) - 1
-        return max(0, min(n, int((v - lo) / (hi - lo) * n)))
+        return max(0, min(n, math.floor((v - lo) / (hi - lo) * n)))
 
     qx0, qx1 = _q(bbox_query[0], bbox[0], bbox[2]), _q(bbox_query[2], bbox[0], bbox[2])
     qy0, qy1 = _q(bbox_query[1], bbox[1], bbox[3]), _q(bbox_query[3], bbox[1], bbox[3])

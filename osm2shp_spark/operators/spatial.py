@@ -522,7 +522,7 @@ def pip_join_s2(
         *point_cols,
         F.col("lon").alias("_px"),
         F.col("lat").alias("_py"),
-        s2_token_udf(level)(F.col("lat"), F.col("lon")).alias("_tok"),
+        s2_token_udf(level)(F.col("lon"), F.col("lat")).alias("_tok"),
     )
     cand = pts.join(polys, "_tok", "inner").filter(
         (F.col("_px") >= F.col("_lon_min"))

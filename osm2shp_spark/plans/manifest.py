@@ -132,13 +132,44 @@ def run_stage_resumable(
     newly-written slice (empty when fully resumed).
     """
     m = Manifest(spark, manifest_dir)
+    # Heal the append-then-record crash window: data lands in out_dir
+    # BEFORE its manifest row, so a crash between the two leaves fully
+    # written but unrecorded partitions (Spark's output committer
+    # makes files visible only on job success, so visible == complete).
+    # Without this, the resume would re-run those partitions and append
+    # their rows a second time; instead, record their lineage from the
+    # data already on disk and skip reprocessing.
+    if os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        done = m.completed_keys(stage).withColumnRenamed("part_key", part_col)
+        orphans = spark.read.parquet(out_dir).join(
+            F.broadcast(done), part_col, "left_anti"
+        )
+        if not orphans.isEmpty():
+            m.append(partition_lineage(orphans, stage, part_col, snapshot_id))
     todo = m.pending(inp, stage, part_col)
-    out = transform(todo)
-    if out.isEmpty():
-        return out
-    out.write.mode("append").parquet(out_dir)
-    written = spark.read.parquet(out_dir).join(
-        out.select(part_col).distinct(), part_col, "left_semi"
+    # persist: referenced by isEmpty, the write, and the key collect —
+    # one evaluation, and a transform that is not bit-deterministic
+    # across recomputations cannot record keys it did not write
+    out = transform(todo).persist()
+    try:
+        if out.isEmpty():
+            return out
+        out.write.mode("append").parquet(out_dir)
+        # partition keys are coarse units (thousands, not rows): a
+        # driver-side list is the same scale the broadcast anti-join
+        # in pending() already ships
+        new_keys = [r[0] for r in out.select(part_col).distinct().collect()]
+    finally:
+        out.unpersist(blocking=False)
+    # Re-read the new slice from disk for both the lineage and the
+    # return value: digests then cover the bytes actually persisted,
+    # and the result survives the manifest append below — the
+    # in-memory lineage would lazily re-evaluate pending() against the
+    # UPDATED manifest on a later action and collapse to empty.
+    written = spark.read.parquet(out_dir).filter(
+        F.col(part_col).isin(new_keys)
     )
     m.append(partition_lineage(written, stage, part_col, snapshot_id))
-    return out
+    return written

@@ -298,6 +298,23 @@ def convert_pbf_to_parquet(
 # distributed ingestion: blob ranges fan out over executors
 # ---------------------------------------------------------------------------
 
+def block_entity_kinds(data: bytes) -> tuple[bool, bool]:
+    """(has_nodes, has_ways) of a PrimitiveBlock via a top-level tag
+    walk only — no string table, no entity decode. Real planet files
+    write homogeneous OSMData blobs (entity-ordered), so this lets the
+    split node/way ingestion passes skip the full decode of the other
+    kind's blobs: ~2x on the dominant protobuf-decode cost."""
+    has_nodes = has_ways = False
+    for fno, _wire, val in _fields(data):
+        if fno == 2:  # PrimitiveGroup
+            for gno, _w, _v in _fields(val):
+                if gno in (1, 2):  # Node / DenseNodes
+                    has_nodes = True
+                elif gno == 3:  # Way
+                    has_ways = True
+    return has_nodes, has_ways
+
+
 def read_pbf_distributed(spark, pbf_path: str):
     """(nodes_df, ways_df) decoded IN PARALLEL: the driver builds the
     blob split table (headers only — a few bytes per ~8k entities),
@@ -323,7 +340,12 @@ def read_pbf_distributed(spark, pbf_path: str):
                 rows = []
                 for off, size in zip(pdf["off"], pdf["size"]):
                     f.seek(int(off))
-                    ns, _ = decode_primitive_block(_inflate_blob(f.read(int(size))))
+                    raw = _inflate_blob(f.read(int(size)))
+                    # skip ways-only blobs before the heavy entity
+                    # decode (blobs are homogeneous in real files)
+                    if not block_entity_kinds(raw)[0]:
+                        continue
+                    ns, _ = decode_primitive_block(raw)
                     # Arrow MAP columns serialize from dicts
                     rows.extend((i, lo, la, dict(t)) for i, lo, la, t in ns)
                 if rows:
@@ -337,7 +359,10 @@ def read_pbf_distributed(spark, pbf_path: str):
                 rows = []
                 for off, size in zip(pdf["off"], pdf["size"]):
                     f.seek(int(off))
-                    _, ws = decode_primitive_block(_inflate_blob(f.read(int(size))))
+                    raw = _inflate_blob(f.read(int(size)))
+                    if not block_entity_kinds(raw)[1]:
+                        continue
+                    _, ws = decode_primitive_block(raw)
                     rows.extend((i, r, dict(t)) for i, r, t in ws)
                 if rows:
                     yield pd.DataFrame(rows, columns=["id", "refs", "tags"])

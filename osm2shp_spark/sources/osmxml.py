@@ -87,9 +87,12 @@ def parse_osm_xml(
         stream = io.BytesIO(stream)
     refs: list[int] = []
     tags: list[tuple[str, str]] = []
+    root = None
     for event, elem in ET.iterparse(stream, events=("start", "end")):
         name = _strip(elem.tag)
         if event == "start":
+            if root is None:
+                root = elem  # the <osm> document element
             if name in ("node", "way"):
                 refs, tags = [], []
             continue
@@ -113,9 +116,18 @@ def parse_osm_xml(
                 ),
             )
             elem.clear()
+            # clear() empties the element but it stays attached as a
+            # child of <osm>; without dropping the root's children,
+            # memory grows O(total entities) on a planet file instead
+            # of the documented one-batch bound (standard iterparse
+            # recipe)
+            if root is not None:
+                root.clear()
         elif name == "way":
             yield ("way", (int(elem.get("id")), refs, tags))
             elem.clear()
+            if root is not None:
+                root.clear()
         elif name not in ("node", "way", "nd", "tag"):
             elem.clear()
 

@@ -176,11 +176,23 @@ def export_shapefiles(
     writers: dict[str, ShapefileWriter] = {}
 
     def get_writer(layer: str, shp_type: int, with_name: bool) -> ShapefileWriter:
-        if layer not in writers:
-            writers[layer] = ShapefileWriter(
+        w = writers.get(layer)
+        if w is None:
+            w = writers[layer] = ShapefileWriter(
                 os.path.join(out_dir, layer), shp_type, with_name
             )
-        return writers[layer]
+        elif w.type != shp_type:
+            # one shapefile holds exactly ONE geometry type (the
+            # reference fixes it per layer at declaration,
+            # osm/handler.cc:34-43); silently emitting a polygon ring
+            # as an ARC record (or vice versa) would hand downstream
+            # GIS readers wrong geometry with no error
+            raise ValueError(
+                f"layer {layer!r}: mixed shape types ({w.type} vs "
+                f"{shp_type}) — split the layer or normalize kind "
+                "upstream"
+            )
+        return w
 
     if points is not None:
         it: Iterator = (

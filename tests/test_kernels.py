@@ -249,3 +249,40 @@ def test_way_cells_covering_superset(spark):
         assert set(vert_toks) <= toks, "covering missed a vertex cell"
         assert set(hexgrid.hex_cell(lo, la, 7).tolist()) == set(r.hex_r7_cells)
         assert set(hexgrid.hex_cell(lo, la, 9).tolist()) == set(r.hex_r9_cells)
+
+
+def test_decode_ppm_truncated_comment_raises():
+    """A header comment without a trailing newline must raise, not spin
+    forever on the out-of-range slice."""
+    from osm2shp_spark.functions.image import decode_ppm
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6 #no newline ever")
+
+
+def test_block_mean_resize_upscale_no_nan():
+    """Output axes larger than the source must degrade to nearest-
+    neighbor sampling, never NaN from empty block slices."""
+    from osm2shp_spark.functions.image import _block_mean_resize
+
+    src = np.arange(16, dtype=np.float64).reshape(4, 4)
+    up = _block_mean_resize(src, 8, 8)
+    assert not np.isnan(up).any()
+    # downscale values unchanged by the clamp (blocks already non-empty)
+    down = _block_mean_resize(src, 2, 2)
+    assert down.tolist() == [[2.5, 4.5], [10.5, 12.5]]
+
+
+def test_way_cells_udf_empty_geometry_no_hang(spark):
+    """A zero-vertex geometry row must produce empty cell arrays — the
+    adaptive covering loop once swallowed the ValueError from min() on
+    an empty array and spun forever."""
+    from osm2shp_spark.functions.udfs import with_way_cells
+
+    df = spark.createDataFrame(
+        [(1, [8.1, 8.2], [47.1, 47.2]), (2, [], [])],
+        "way_id INT, lons ARRAY<DOUBLE>, lats ARRAY<DOUBLE>",
+    )
+    got = {r.way_id: r for r in with_way_cells(df).collect()}
+    assert got[2].s2_cover_tokens == [] and got[2].hex_r7_cells == []
+    assert len(got[1].s2_cover_tokens) > 0 and len(got[1].hex_r7_cells) > 0

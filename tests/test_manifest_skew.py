@@ -111,3 +111,31 @@ def test_cell_histogram_sums_to_total(spark):
     pts = imgs.withColumn("c", hex_cell_udf(7)(F.col("lon"), F.col("lat")))
     h = cell_histogram(pts, "c").toPandas()
     assert h.n.sum() == imgs.count()
+
+
+def test_resume_heals_unrecorded_partitions_without_duplicates(spark, tmp_path):
+    """Crash window between data append and manifest append: the data
+    for a partition is fully committed but unrecorded. The resume must
+    record its lineage from disk and NOT re-append its rows."""
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    df = (
+        synthetic_images(spark, SF_SMALL)
+        .select("img_key", "image_id", "lon", "lat")
+        .withColumn("part_key", F.col("img_key") % 5)
+    )
+
+    def xform(d):
+        return d.withColumn("lon2", F.col("lon") * 2)
+
+    run_stage_resumable(spark, df, "heal", "part_key", xform, out_dir, man_dir)
+    n = spark.read.parquet(out_dir).count()
+    # simulate the crash window: data committed, manifest rows lost
+    import shutil
+
+    shutil.rmtree(man_dir)
+    r2 = run_stage_resumable(spark, df, "heal", "part_key", xform, out_dir, man_dir)
+    assert r2.count() == 0  # nothing reprocessed
+    assert spark.read.parquet(out_dir).count() == n  # no duplicate rows
+    m = Manifest(spark, man_dir)
+    assert m.pending(df, "heal", "part_key").count() == 0  # manifest healed

@@ -185,3 +185,35 @@ def test_packed_signed_round_trip(vals):
     fields = list(__import__("osm2shp_spark.sources.osmpbf", fromlist=["_fields"])._fields(buf))
     assert len(fields) == 1
     assert _packed_varints(fields[0][2], zig=True) == vals
+
+
+def test_block_entity_kinds_scanner():
+    """The light tag walk must classify blobs without a full decode —
+    the skip predicate the split distributed ingestion passes rely on."""
+    from osm2shp_spark.sources.osmpbf import (
+        _inflate_blob,
+        blob_index,
+        block_entity_kinds,
+        encode_osm_pbf,
+    )
+    import tempfile, os
+
+    nodes = [(i, 8.0 + i * 1e-4, 47.0, {"name": f"n{i}"}) for i in range(5)]
+    ways = [(10, [0, 1, 2], {"highway": "residential"})]
+    data = encode_osm_pbf(nodes, ways, entities_per_blob=4)
+    with tempfile.NamedTemporaryFile(suffix=".pbf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        kinds = []
+        with open(path, "rb") as fh:
+            for btype, off, size in blob_index(path):
+                if btype != "OSMData":
+                    continue
+                fh.seek(off)
+                kinds.append(block_entity_kinds(_inflate_blob(fh.read(size))))
+        assert any(k[0] for k in kinds) and any(k[1] for k in kinds)
+        # every blob classified as holding at least one entity kind
+        assert all(k[0] or k[1] for k in kinds)
+    finally:
+        os.unlink(path)

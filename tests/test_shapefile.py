@@ -99,3 +99,20 @@ def test_shx_offsets_consistent(exported):
         rec_no, rec_len = struct.unpack_from(">ii", shp, off_w * 2)
         assert rec_no == i + 1
         assert rec_len == len_w
+
+
+def test_mixed_kind_layer_raises(spark, tmp_path):
+    """One shapefile holds exactly one geometry type (the reference
+    fixes it per layer at declaration): a layer carrying both line and
+    polygon kinds must fail fast, not silently write polygon rings as
+    ARC records."""
+    ways = spark.createDataFrame(
+        [
+            ("water", "line", 1, [8.0, 8.1], [47.0, 47.1]),
+            ("water", "polygon", 2, [8.0, 8.1, 8.1, 8.0], [47.0, 47.0, 47.1, 47.0]),
+        ],
+        "layer STRING, kind STRING, way_id LONG, "
+        "lons ARRAY<DOUBLE>, lats ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="mixed shape types"):
+        export_shapefiles(None, ways, str(tmp_path / "mixed"))
