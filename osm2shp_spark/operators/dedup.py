@@ -357,29 +357,54 @@ def minhash_near_dups(
             )
         ).alias("_band", "_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._key") == F.col("b._key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._sig").alias("_siga"),
-            F.col("b._sig").alias("_sigb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    return _minhash_estimate(
+        _banded_self_pairs(banded, "_key", sig="_sig").dropDuplicates(
+            ["doc_a", "doc_b"]
+        ),
+        threshold,
     )
+
+
+def _banded_self_pairs(banded: DataFrame, key: str, **carry: str) -> DataFrame:
+    """Candidate pairs from a banded table: equi-join on (_band, key)
+    with the ``a._id < b._id`` half-matrix cut. ``carry`` maps a
+    short name -> source column copied from each side as ``_<name>a``
+    / ``_<name>b``. Shared by all four near-dup variants (portable +
+    fast MinHash and SimHash) — the blocking topology is the load-
+    bearing scale property, so it lives in exactly one place."""
+    a, b = banded.alias("a"), banded.alias("b")
+    cols = [F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")]
+    for name, src in carry.items():
+        cols.append(F.col(f"a.{src}").alias(f"_{name}a"))
+        cols.append(F.col(f"b.{src}").alias(f"_{name}b"))
+    return a.join(
+        b,
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(*cols)
+
+
+def _minhash_estimate(cand: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard >= threshold) from deduplicated
+    candidate pairs carrying _siga/_sigb."""
     agree = F.size(
         F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v)
     )
     est = agree.cast("double") / F.lit(float(_NUM_HASHES))
     return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
+    )
+
+
+def _hamming_pairs(pairs: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming <= max) from candidate pairs carrying
+    _sha/_shb fingerprints."""
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return (
+        pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -457,32 +482,12 @@ def minhash_near_dups_fast(
             )
         ).alias("_band", "_bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._sig").alias("_siga"),
-            F.col("b._sig").alias("_sigb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    return _minhash_estimate(
+        _banded_self_pairs(banded, "_bucket", sig="_sig").dropDuplicates(
+            ["doc_a", "doc_b"]
+        ),
+        threshold,
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v
-        )
-    )
-    est = agree.cast("double") / F.lit(float(_NUM_HASHES))
-    return cand.select(
-        "doc_a", "doc_b", est.alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -584,23 +589,8 @@ def simhash_near_dups(
             )
         ).alias("_band", "_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._key") == F.col("b._key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+    return _hamming_pairs(
+        _banded_self_pairs(banded, "_key", sh="_sh"), max_hamming
     )
 
 
@@ -649,21 +639,6 @@ def simhash_near_dups_fast(
             )
         ).alias("_band", "_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._key") == F.col("b._key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+    return _hamming_pairs(
+        _banded_self_pairs(banded, "_key", sh="_sh"), max_hamming
     )

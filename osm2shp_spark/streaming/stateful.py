@@ -16,8 +16,6 @@ the canonical bounded-state design for 10^12-event streams.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
@@ -123,22 +121,12 @@ def run_sessionize_over_parquet(
     returns closed sessions (in-batch gap closes + watermark-fired
     timeouts; only sessions within the gap of the stream's max event
     time stay open in state)."""
-    from osm2shp_spark.streaming.windows import EVENTS_SCHEMA
+    from osm2shp_spark.streaming.windows import read_events_stream, run_to_memory_sink
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isfile(parquet_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
-        parquet_path = os.path.dirname(parquet_path)
-    ev = reader.parquet(parquet_path).select("ts", "user_id", "event_id", "value")
-    out = sessionize_stream(ev)
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(ckpt, "ck"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-    return spark.table(name)
+    ev = read_events_stream(spark, parquet_path).select(
+        "ts", "user_id", "event_id", "value"
+    )
+    # available_now=False: the event-time timeouts need the extra
+    # empty micro-batch after the data drains, which availableNow's
+    # bounded plan would skip
+    return run_to_memory_sink(sessionize_stream(ev), name, "append", available_now=False)

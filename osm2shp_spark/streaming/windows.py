@@ -83,6 +83,47 @@ def windowed_agg_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """``readStream`` over an events parquet directory — or a single
+    file (the file source monitors a directory, so a file path becomes
+    parent dir + pathGlobFilter). Shared by every parquet-backed
+    stream driver so the path protocol cannot drift between them."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(parquet_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        parquet_path = os.path.dirname(parquet_path)
+    return reader.parquet(parquet_path)
+
+
+def run_to_memory_sink(
+    stream: DataFrame,
+    name: str,
+    output_mode: str,
+    available_now: bool = True,
+) -> DataFrame:
+    """Drive a streaming DataFrame to a memory sink and return the
+    materialized table. ``available_now=True`` is the synchronous
+    exactly-once backfill; ``False`` starts an unbounded query and
+    uses processAllAvailable — the shape the stateful sessionizer
+    needs so its event-time timeouts get the extra empty micro-batch
+    availableNow would skip."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        w = (
+            stream.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+        )
+        if available_now:
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = w.start()
+            q.processAllAvailable()
+            q.stop()
+    return stream.sparkSession.table(name)
+
+
 def stream_dedup_over_parquet(
     spark: SparkSession, parquet_path: str, name: str = "dedup_out"
 ) -> DataFrame:
@@ -95,11 +136,7 @@ def stream_dedup_over_parquet(
     matter how long the stream runs. Duplicate rows are bit-identical,
     so which physical copy survives is unobservable — the result is
     deterministic and equals the batch DISTINCT."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isfile(parquet_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
-        parquet_path = os.path.dirname(parquet_path)
-    base = reader.parquet(parquet_path)
+    base = read_events_stream(spark, parquet_path)
     redelivered = base.filter(F.col("event_id") % 10 == 0)
     stream = (
         base.union(redelivered)
@@ -107,17 +144,7 @@ def stream_dedup_over_parquet(
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "value")
     )
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(ckpt, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory_sink(stream, name, "append")
 
 
 def run_stream_over_parquet(
@@ -126,21 +153,5 @@ def run_stream_over_parquet(
     """Drive the streaming query over a static parquet directory with
     availableNow + memory sink (synchronous, exactly-once backfill);
     returns the materialized result."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isfile(parquet_path):
-        # file source wants a directory: monitor the parent, filter to
-        # this one file
-        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
-        parquet_path = os.path.dirname(parquet_path)
-    stream = reader.parquet(parquet_path).transform(windowed_agg_stream)
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(ckpt, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    stream = read_events_stream(spark, parquet_path).transform(windowed_agg_stream)
+    return run_to_memory_sink(stream, name, "complete")
