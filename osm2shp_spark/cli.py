@@ -41,6 +41,15 @@ def main(argv: list[str] | None = None) -> int:
     from osm2shp_spark.session import get_spark
 
     if os.path.isfile(args.input_dir):
+        if args.images:
+            # fail BEFORE the (possibly hours-long) ingest: an OSM
+            # file carries no image table, so the unconditional
+            # images.parquet read below would crash after it
+            raise SystemExit(
+                "--images requires a table directory input (an "
+                "images.parquet alongside nodes/ways); a raw OSM file "
+                "has no image table"
+            )
         # raw OSM input file, exactly like the reference binary
         # (osm2shp.cc:13 accepts .osm(.gz|.bz2); PBF per osm2shp.cc:1)
         ingest_dir = os.path.join(args.output_dir, "ingested")

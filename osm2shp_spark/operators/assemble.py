@@ -101,11 +101,14 @@ def assemble_ways(
     wire-byte-bound. The ~25% buffer-byte cut is the relevant quantity
     only where the exchange crosses a real network (unmeasurable in
     this sandbox) — hence opt-in, never default. PRECONDITION:
-    coordinates are 1e-7-degree fixed point — exactly the OSM native
-    model (PBF spec granularity=100 nanodegrees; the reference's sqlite
-    store keeps the same doubles, osm/point_database.cc), so every
-    PBF/XML-ingested node qualifies bit-losslessly; arbitrary-precision
-    inputs must keep the default.
+    coordinates are PBF-decoded 1e-7-degree fixed point (granularity
+    100 nanodegrees: coord == (I * 100) * 1e-9 exactly, the formula
+    the decode replicates bit-for-bit — sources/osmpbf.py). XML-parsed
+    coordinates do NOT qualify: Python's correctly-rounded decimal
+    parse differs from the decode formula by 1 ulp on ~40% of
+    1e-7-grid values (measured over 200k samples), which would perturb
+    geometry digests and dedup keys. Arbitrary-precision inputs must
+    keep the default.
     """
     from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
 
@@ -188,6 +191,11 @@ def assemble_ways_mapside(
         return assemble_ways(nodes, ways)
     spark = nodes.sparkSession
     build = staged_nodes(nodes).toPandas()
+    if not len(build):
+        # empty build side: no way can fully resolve (all-or-nothing),
+        # and the searchsorted lookup below would index a zero-length
+        # array; the general path returns the identical empty result
+        return assemble_ways(nodes, ways)
     ids = build["id"].to_numpy(np.int64)
     order = np.argsort(ids, kind="stable")
     bc = spark.sparkContext.broadcast(
@@ -213,23 +221,21 @@ def assemble_ways_mapside(
             idx = np.searchsorted(sorted_ids, refs_flat)
             idx_clipped = np.minimum(idx, len(sorted_ids) - 1)
             hit = sorted_ids[idx_clipped] == refs_flat
-            # all-or-nothing per way (point_database.cc:104-109)
+            # all-or-nothing per way (point_database.cc:104-109) —
+            # one vectorized segment reduction, not a per-way Python
+            # loop (lens >= 2 via the min-vertex rule, so no reduceat
+            # segment is empty)
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            ok = np.array(
-                [hit[bounds[i] : bounds[i + 1]].all() for i in range(len(pdf))]
-            )
+            ok = np.logical_and.reduceat(hit, bounds[:-1])
             if not ok.any():
                 continue
             way_lons = lons[idx_clipped]
             way_lats = lats[idx_clipped]
             out = pdf.loc[ok, ["way_id", "layer", "kind"]].reset_index(drop=True)
             out["n_pts"] = lens[ok].astype(np.int32)
-            out["lons"] = [
-                way_lons[bounds[i] : bounds[i + 1]] for i in np.flatnonzero(ok)
-            ]
-            out["lats"] = [
-                way_lats[bounds[i] : bounds[i + 1]] for i in np.flatnonzero(ok)
-            ]
+            keep = np.flatnonzero(ok)
+            out["lons"] = [way_lons[bounds[i] : bounds[i + 1]] for i in keep]
+            out["lats"] = [way_lats[bounds[i] : bounds[i + 1]] for i in keep]
             yield out[["way_id", "layer", "kind", "n_pts", "lons", "lats"]]
 
     return classified.mapInPandas(assemble, schema=ASSEMBLED_SCHEMA)
@@ -284,28 +290,48 @@ def assemble_ways_auto(
         # the max_refs stat just proved the smallint pos bound (the
         # compact_pos precondition) — the auto path always gets the
         # slim exchange when it is provably safe. ``quantized`` is
-        # caller-asserted (PBF/XML-ingested coords are 1e-7 fixed
-        # point by construction; see assemble_ways) — a data property
-        # no cheap stat can prove, so it is never auto-enabled.
+        # caller-asserted (PBF-decoded coords only — XML parses differ
+        # by 1 ulp; see assemble_ways) — a data property no cheap stat
+        # can prove, so it is never auto-enabled.
         choice, out = "general", assemble_ways(
             nodes, ways, compact_pos=max_refs <= 32767, quantized=quantized
         )
     return (out, choice) if return_strategy else out
 
 
-def assembly_counters(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+def assembly_counters(
+    nodes: DataFrame, ways: DataFrame, assembled: DataFrame | None = None
+) -> DataFrame:
     """O17 observability counters as one aggregate row (handler.cc:59-61,
     84-85,108-109 — upgraded from stderr prints to a queryable result).
 
     Columns: processed_ways, routed_ways (matched a layer, pre-join),
     exported_ways (survived resolution), dropped_unresolved.
+
+    ``assembled``: pass the pipeline's already-materialized assembly
+    output (e.g. read back from its written table) so the most
+    expensive join in the engine is not re-executed from scratch for
+    one integer. processed + routed come from ONE scan of the ways
+    table (classification is a per-row expression, so counting rows
+    and routed rows in the same aggregate is free).
     """
-    routed = classify_ways(ways)
-    exported = assemble_ways(nodes, ways)
+    from osm2shp_spark.rules import min_vertex_sql, way_kind_sql, way_layer_sql
+
+    routed_flag = (
+        f"CASE WHEN {min_vertex_sql('kind', 'n_refs')} "
+        f"AND {way_layer_sql('kind')} IS NOT NULL THEN 1 END"
+    )
+    both = (
+        ways.withColumn("kind", F.expr(way_kind_sql()))
+        .withColumn("n_refs", F.size("refs"))
+        .agg(
+            F.count(F.lit(1)).alias("processed_ways"),
+            F.count(F.expr(routed_flag)).alias("routed_ways"),
+        )
+    )
+    exported = assemble_ways(nodes, ways) if assembled is None else assembled
     return (
-        ways.agg(F.count(F.lit(1)).alias("processed_ways"))
-        .crossJoin(routed.agg(F.count(F.lit(1)).alias("routed_ways")))
-        .crossJoin(exported.agg(F.count(F.lit(1)).alias("exported_ways")))
+        both.crossJoin(exported.agg(F.count(F.lit(1)).alias("exported_ways")))
         .select(
             "processed_ways",
             "routed_ways",

@@ -58,14 +58,23 @@ def generalize_ways(
             for r in pdf.itertuples(index=False):
                 xs = np.asarray(r.lons, np.float64)
                 ys = np.asarray(r.lats, np.float64)
+                if r.kind != "line":
+                    # point/polygon layers pass through UNTOUCHED
+                    # (mapgen.sh:54 runs v.generalize/v.clean on the
+                    # line layers only) — rmdupl on a polygon ring
+                    # would silently break row-for-row parity
+                    rows.append(
+                        (r.way_id, r.layer, r.kind, len(xs), xs.tolist(), ys.tolist())
+                    )
+                    continue
                 eps = th.get(r.layer, 0.0)
-                if eps > 0.0 and r.kind == "line":
+                if eps > 0.0:
                     xs, ys = G.simplify(xs, ys, eps)
                 if snap_eps > 0.0:
                     xs = G.snap_to_grid(xs, snap_eps)
                     ys = G.snap_to_grid(ys, snap_eps)
                 xs, ys = G.drop_consecutive_duplicates(xs, ys)
-                if r.kind == "line" and G.is_degenerate_line(xs, ys):
+                if G.is_degenerate_line(xs, ys):
                     continue
                 rows.append(
                     (r.way_id, r.layer, r.kind, len(xs), xs.tolist(), ys.tolist())

@@ -62,14 +62,21 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         chain_y = list(ys)
         n_seg = 1
         members = [int(segs[start][2])]
-        # extend forward then backward
+        # extend forward then backward; backward pieces accumulate in
+        # discovery order and stitch ONCE at the end — in-place
+        # prepending (chain[0:0] = ...) shifts the whole accumulated
+        # chain per segment, O(n^2) when the seed sits at the far end
+        # of a long degree-2 chain
+        back_x: list[list[float]] = []
+        back_y: list[list[float]] = []
         for direction in (1, 0):
             while True:
-                pt = (
-                    (chain_x[-1], chain_y[-1])
-                    if direction
-                    else (chain_x[0], chain_y[0])
-                )
+                if direction:
+                    pt = (chain_x[-1], chain_y[-1])
+                elif back_x:
+                    pt = (back_x[-1][0], back_y[-1][0])
+                else:
+                    pt = (chain_x[0], chain_y[0])
                 if not walkable(pt):
                     break
                 nxt = [(si, e) for (si, e) in endpoint_ix[pt] if not used[si]]
@@ -96,8 +103,12 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                     chain_x.extend(sx[1:])
                     chain_y.extend(sy[1:])
                 else:
-                    chain_x[0:0] = list(sx[:-1])
-                    chain_y[0:0] = list(sy[:-1])
+                    back_x.append(list(sx[:-1]))
+                    back_y.append(list(sy[:-1]))
+        if back_x:
+            # furthest-discovered piece is the final head
+            chain_x = [v for part in reversed(back_x) for v in part] + chain_x
+            chain_y = [v for part in reversed(back_y) for v in part] + chain_y
         rows.append(
             (
                 layer,

@@ -125,27 +125,25 @@ def adaptive_cells(
             out.filter(F.col("cell_res") == res - 1), "cell_adaptive"
         ).filter(F.col("n") > hot_threshold)
         hot = hist.select(F.col("cell_adaptive").alias("_hot_cell"))
-        out = (
-            out.join(
-                F.broadcast(hot),
-                out.cell_adaptive == hot._hot_cell,
-                "left_outer",
-            )
-            .withColumn(
-                "cell_adaptive",
-                F.when(
-                    F.col("_hot_cell").isNotNull(),
-                    hex_cell_udf(res)(F.col(lon_col), F.col(lat_col)),
-                ).otherwise(F.col("cell_adaptive")),
-            )
-            .withColumn(
-                "cell_res",
-                F.when(F.col("_hot_cell").isNotNull(), F.lit(res)).otherwise(
-                    F.col("cell_res")
-                ),
-            )
-            .drop("_hot_cell")
+        # filter-then-union, NOT a CASE WHEN around the UDF: Spark
+        # extracts a pandas UDF inside a conditional into its own
+        # ArrowEvalPython node evaluated for EVERY row (when() only
+        # selects afterward), which would charge all points a full
+        # Arrow pass per extra level — the re-index must run on the
+        # hot subset only, as documented
+        joined = out.join(
+            F.broadcast(hot), out.cell_adaptive == hot._hot_cell, "left_outer"
         )
+        cold = joined.filter(F.col("_hot_cell").isNull()).drop("_hot_cell")
+        hot_pts = (
+            joined.filter(F.col("_hot_cell").isNotNull())
+            .drop("_hot_cell")
+            .withColumn(
+                "cell_adaptive", hex_cell_udf(res)(F.col(lon_col), F.col(lat_col))
+            )
+            .withColumn("cell_res", F.lit(res))
+        )
+        out = cold.unionByName(hot_pts)
     return out
 
 

@@ -343,16 +343,19 @@ kept AS (
     WHERE h.eps = 0e0 OR h.n_pts <= 2
 ),
 seq AS (
-    SELECT k.way_id, v.pos, v.x, v.y,
+    SELECT k.way_id, h.kind AS _kind, v.pos, v.x, v.y,
            lag(v.x) OVER w AS px, lag(v.y) OVER w AS py
-    FROM kept k JOIN v USING (way_id, pos)
+    FROM kept k JOIN v USING (way_id, pos) JOIN heads h USING (way_id)
     WINDOW w AS (PARTITION BY k.way_id ORDER BY v.pos)
 ),
 ded AS (
+    -- rmdupl applies to LINE kinds only (point/polygon layers pass
+    -- through untouched, mapgen.sh:54 — mirrored in generalize_ways)
     SELECT way_id, pos, x, y,
            ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS i,
            COUNT(*) OVER (PARTITION BY way_id) AS n2
-    FROM seq WHERE px IS NULL OR x <> px OR y <> py
+    FROM seq
+    WHERE _kind <> 'line' OR px IS NULL OR x <> px OR y <> py
 ),
 agg AS (
     SELECT way_id,

@@ -101,8 +101,16 @@ def min_vertex_sql(kind_expr: str = "kind", refs_len_expr: str = "n_refs") -> st
     )
 
 
+def _sq(value: str) -> str:
+    """SQL single-quoted string literal with '' escaping — the rule
+    table is documented user-extensible, so a value like "l'eau" must
+    render as a valid literal, not a ParseException (or an injection
+    vector for untrusted rule configs)."""
+    return "'" + value.replace("'", "''") + "'"
+
+
 def _match_sql(rule: LayerRule) -> str:
-    return f"{tag_col(rule.tag_key)} = '{rule.tag_value}'"
+    return f"{tag_col(rule.tag_key)} = {_sq(rule.tag_value)}"
 
 
 def way_layer_sql(kind_expr: str = "kind") -> str:
@@ -112,7 +120,7 @@ def way_layer_sql(kind_expr: str = "kind") -> str:
     lazy first-match evaluation reproduces the ``break``.
     """
     whens = [
-        f"WHEN {kind_expr} = '{r.kind}' AND {_match_sql(r)} THEN '{r.layer}'"
+        f"WHEN {kind_expr} = {_sq(r.kind)} AND {_match_sql(r)} THEN {_sq(r.layer)}"
         for r in DEFAULT_RULES
         if r.kind in ("line", "polygon")
     ]
@@ -122,7 +130,7 @@ def way_layer_sql(kind_expr: str = "kind") -> str:
 def node_layer_sql() -> str:
     """Ordered first-match CASE over point rules (handler.cc:96-104)."""
     whens = [
-        f"WHEN {_match_sql(r)} THEN '{r.layer}'"
+        f"WHEN {_match_sql(r)} THEN {_sq(r.layer)}"
         for r in DEFAULT_RULES
         if r.kind == "point"
     ]
@@ -152,7 +160,7 @@ def way_pair_idx_sql(
     """TINYINT index into :data:`WAY_PAIRS` for an already-classified
     way (layer is non-null by construction after routing)."""
     whens = [
-        f"WHEN {layer_expr} = '{lay}' AND {kind_expr} = '{kd}' THEN {i}"
+        f"WHEN {layer_expr} = {_sq(lay)} AND {kind_expr} = {_sq(kd)} THEN {i}"
         for i, (lay, kd) in enumerate(WAY_PAIRS)
     ]
     return "CAST(CASE " + " ".join(whens) + " END AS TINYINT)"
@@ -160,11 +168,11 @@ def way_pair_idx_sql(
 
 def pair_layer_sql(idx_expr: str) -> str:
     """Decode the tinyint pair index back to the layer string."""
-    arr = ", ".join(f"'{lay}'" for lay, _ in WAY_PAIRS)
+    arr = ", ".join(_sq(lay) for lay, _ in WAY_PAIRS)
     return f"element_at(array({arr}), CAST({idx_expr} AS INT) + 1)"
 
 
 def pair_kind_sql(idx_expr: str) -> str:
     """Decode the tinyint pair index back to the kind string."""
-    arr = ", ".join(f"'{kd}'" for _, kd in WAY_PAIRS)
+    arr = ", ".join(_sq(kd) for _, kd in WAY_PAIRS)
     return f"element_at(array({arr}), CAST({idx_expr} AS INT) + 1)"

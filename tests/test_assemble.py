@@ -274,3 +274,51 @@ class TestQuantizedExchange:
             nodes, ways, compact_pos=True, quantized=True
         ).toPandas()
         assert canon_rows(a) == canon_rows(b)
+
+
+def test_mapside_empty_node_table_returns_empty(spark):
+    """An empty staged-node build side must yield zero rows (the
+    all-or-nothing rule), not an IndexError from indexing a zero-length
+    sorted-id array inside mapInPandas."""
+    from osm2shp_spark.operators.assemble import assemble_ways_mapside
+
+    nodes = spark.createDataFrame(
+        [], "id BIGINT, lon DOUBLE, lat DOUBLE, tags MAP<STRING,STRING>"
+    )
+    ways = synthetic_ways(spark, SF_SMALL)
+    assert assemble_ways_mapside(nodes, ways, max_broadcast_nodes=None).count() == 0
+
+
+def test_rule_sql_escapes_quotes(spark):
+    """The rule table is documented user-extensible: a tag value or
+    layer containing a single quote must render as a valid SQL literal."""
+    import osm2shp_spark.rules as R
+
+    rule = R.LayerRule("l'eau", "line", "waterway", "l'oued")
+    sql = R._match_sql(rule)
+    assert "''" in sql
+    # must parse and evaluate in Spark
+    got = spark.createDataFrame([("l'oued",)], f"{R.tag_col('waterway')} STRING") \
+        .selectExpr(f"{sql} AS m").collect()[0].m
+    assert got is True
+
+
+def test_generalize_leaves_polygons_untouched(spark):
+    """mapgen.sh:54 runs v.generalize/v.clean on line layers only — a
+    polygon ring with a consecutive duplicate vertex must pass through
+    verbatim (no rmdupl), while the same shape as a line is cleaned."""
+    from osm2shp_spark.operators.generalize import generalize_ways
+
+    rows = [
+        (1, "water_area", "polygon", 5,
+         [8.0, 8.0, 8.1, 8.1, 8.0], [47.0, 47.0, 47.1, 47.1, 47.0]),
+        (2, "water_line", "line", 3, [8.0, 8.0, 8.1], [47.0, 47.0, 47.1]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "way_id LONG, layer STRING, kind STRING, n_pts INT, "
+        "lons ARRAY<DOUBLE>, lats ARRAY<DOUBLE>",
+    )
+    got = {r.way_id: r for r in generalize_ways(df).collect()}
+    assert got[1].n_pts == 5 and got[1].lons == rows[0][4]  # untouched
+    assert got[2].n_pts == 2  # duplicate vertex removed on the line
