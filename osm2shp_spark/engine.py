@@ -64,8 +64,18 @@ def _export_stage(
     only job touching the data."""
     if with_lineage:
         write_partitioned(df, path, ["layer"])
-        written = spark.read.parquet(path).withColumn(
-            "part_key", F.xxhash64("layer")
+        # explicit schema: a zero-row partitioned write leaves only
+        # _SUCCESS, and a bare read-back would raise
+        # UNABLE_TO_INFER_SCHEMA, aborting the run AFTER the data
+        # landed (an empty extract is a valid outcome, not an error)
+        written = spark.read.schema(df.schema).parquet(path).withColumn(
+            # digest partition: layer alone funnels an entire layer's
+            # rows into ONE applyInPandas group (OOM/straggler at
+            # scale); bucketing by the stable leading id column bounds
+            # every group while staying deterministic across re-reads
+            "part_key",
+            F.xxhash64("layer")
+            + F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(256)),
         )
         manifest.append(partition_lineage(written, stage, "part_key", snapshot))
         n = (
@@ -139,13 +149,28 @@ def run(
         # north-rule adaptive cell splitting in the hot path: dense
         # cells re-index at finer resolution before the written index
         # feeds downstream rollups/joins (operators/skew.py)
+        base_res = (
+            hex_resolutions[2] if len(hex_resolutions) > 2 else hex_resolutions[-1]
+        )
         indexed = adaptive_cells(
             indexed,
-            base_res=hex_resolutions[2] if len(hex_resolutions) > 2 else hex_resolutions[-1],
+            base_res=base_res,
             hot_threshold=adaptive_hot_threshold,
+            # with_point_cells just computed this exact cell id —
+            # reuse the column instead of a second full-table Arrow
+            # pass through hex_cell_udf
+            cell_col=f"hex_r{base_res}",
         )
-        polys = assembled.filter(F.col("kind") == "polygon").select(
-            F.col("way_id").alias("poly_id"), "layer", "lons", "lats"
+        # read the assembly back from the table just written instead of
+        # re-executing the pipeline's most expensive DAG (the exploded
+        # node join + two shuffles + geometry/cell Arrow passes) once
+        # for pip_join's dimension-stats collect and again for the
+        # classified write
+        polys = (
+            spark.read.schema(assembled.schema)
+            .parquet(way_out)
+            .filter(F.col("kind") == "polygon")
+            .select(F.col("way_id").alias("poly_id"), "layer", "lons", "lats")
         )
         classified = pip_join(
             indexed,

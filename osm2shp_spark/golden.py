@@ -55,6 +55,14 @@ def _lit(v) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, (float, np.floating)):
+        if not np.isfinite(v):
+            # repr(inf)/repr(nan) would render as 'infe0'/'nane0' —
+            # unparseable SQL that fails the gate with a cryptic
+            # DuckDB syntax error instead of a value diff. Non-finite
+            # kernel outputs must be sentinel-mapped upstream (as
+            # decode_stats does for psnr=inf); surfacing one here is
+            # a bug worth a loud failure.
+            raise ValueError(f"non-finite golden literal: {v!r}")
         r = repr(float(v))
         return r if ("e" in r or "E" in r) else r + "e0"
     if isinstance(v, str):
@@ -208,6 +216,7 @@ def adaptive_cells_oracle(
         f"SELECT img_key, lon, lat FROM ({images_sql}) i "
         f"WHERE img_key % {sample_mod} = 0"
     ).df()
+    con.close()
     lon = pts["lon"].to_numpy()
     lat = pts["lat"].to_numpy()
     exp = pd.DataFrame({"img_key": pts["img_key"].astype("int64")})
@@ -245,14 +254,15 @@ FROM fin
 
 
 def point_cells_oracle(images_sql: str, sample_mod: int = 40) -> str:
-    """Golden oracle for the N1/N2 point cell family: lon/lat are
-    SQL-derivable (the synthetic images table), so DuckDB recomputes
-    the coordinates itself and joins the injected expected cell ids —
-    which the generator computes driver-side with the same NumPy
-    kernels the executors run (`functions.hexgrid` / `functions.s2`).
-    Verifies the distributed assignment (Arrow struct family, row
-    routing) bit-for-bit; kernel math itself is property-pytest
-    territory. Pinned to the gate's sf0.01 tables like every golden."""
+    """Golden oracle for the N1/N2 point cell family: the GENERATOR
+    reads the sampled coordinates through DuckDB (same SQL predicate
+    as the Spark query) and computes the expected cell ids driver-side
+    with the same NumPy kernels the executors run
+    (`functions.hexgrid` / `functions.s2`); the returned SQL is that
+    expectation as a VALUES table. Verifies the distributed assignment
+    (Arrow struct family, row routing) bit-for-bit; kernel math itself
+    is property-pytest territory (tests/test_properties.py). Pinned to
+    the gate's sf0.01 tables like every golden."""
     import duckdb
 
     from osm2shp_spark.functions import hexgrid, s2
@@ -267,6 +277,7 @@ def point_cells_oracle(images_sql: str, sample_mod: int = 40) -> str:
         f"SELECT img_key, lon, lat FROM ({images_sql}) i "
         f"WHERE img_key % {sample_mod} = 0"
     ).df()
+    con.close()
     lon = pts["lon"].to_numpy()
     lat = pts["lat"].to_numpy()
     ids = s2.cell_id(lat, lon, 12)

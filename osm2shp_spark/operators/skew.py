@@ -106,6 +106,7 @@ def adaptive_cells(
     base_res: int = 8,
     hot_threshold: int = 1000,
     max_extra_levels: int = 2,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Add ``cell_adaptive`` (+ ``cell_res``): the base-res hex cell,
     except points in hot cells (count > threshold) re-index one (or
@@ -115,10 +116,19 @@ def adaptive_cells(
     Iterative pre-pass: histogram → broadcast hot set → conditional
     re-index. The loop runs on aggregated counts only (tiny), never on
     the point table.
+
+    ``cell_col``: an existing column already holding the base-res hex
+    cell id (e.g. ``hex_r{base_res}`` from ``with_point_cells``) —
+    reusing it skips a full-table Arrow pass through the cell UDF.
     """
-    out = points.withColumn(
-        "cell_adaptive", hex_cell_udf(base_res)(F.col(lon_col), F.col(lat_col))
-    ).withColumn("cell_res", F.lit(base_res))
+    base = (
+        F.col(cell_col)
+        if cell_col is not None
+        else hex_cell_udf(base_res)(F.col(lon_col), F.col(lat_col))
+    )
+    out = points.withColumn("cell_adaptive", base).withColumn(
+        "cell_res", F.lit(base_res)
+    )
     for extra in range(1, max_extra_levels + 1):
         res = base_res + extra
         hist = cell_histogram(

@@ -35,16 +35,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: sf_dir whose views are CURRENTLY registered, per session — temp
+#: views are session-GLOBAL name slots, so the memo must track what
+#: the names point at right now (a seen-pairs set would skip the
+#: re-registration needed after another sf_dir overwrote the views).
+#: Every synthetic_* helper calls register_driver_tables, so without
+#: this each gate query pays ~10 redundant parquet footer reads +
+#: view creates.
+_CURRENT_SF: dict[object, str] = {}
+
+
 def register_driver_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register all driver parquet files as temp views.
+    """Register all driver parquet files as temp views (idempotent;
+    skipped when this session's views already point at ``sf_dir``).
 
     Mirrors the DuckDB oracle environment, where the same names are
     pre-registered views — shared SQL text then runs on both engines.
+    A missing driver table raises HERE with its name, not later as an
+    unrelated TABLE_OR_VIEW_NOT_FOUND inside some query's analysis.
     """
+    # applicationId is unique per context (a recycled Python object id
+    # after a session restart is not); fall back to id() under Connect
+    try:
+        sid = spark.sparkContext.applicationId
+    except Exception:
+        sid = id(spark)
+    if _CURRENT_SF.get(sid) == sf_dir:
+        return
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"driver table missing: {path}")
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _CURRENT_SF[sid] = sf_dir
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:

@@ -56,3 +56,27 @@ def test_engine_run_end_to_end(spark, tmp_path):
     m = Manifest(spark, os.path.join(out, "_manifest"))
     stages = {r.stage for r in m.read().select("stage").distinct().collect()}
     assert stages == {"ways", "points", "images_classified"}
+
+
+def test_engine_zero_row_stage_does_not_abort(spark, tmp_path):
+    """An extract whose nodes classify to nothing must complete with a
+    zero count, not die on UNABLE_TO_INFER_SCHEMA when the lineage pass
+    reads back the empty partitioned points table."""
+    from pyspark.sql import functions as F
+
+    from osm2shp_spark.operators.classify import extract_tags
+
+    nodes = extract_tags(
+        spark.createDataFrame(
+            [(1, 8.0, 47.0, {"highway": "crossing"})],  # routes nowhere
+            "id BIGINT, lon DOUBLE, lat DOUBLE, tags MAP<STRING,STRING>",
+        )
+    )
+    ways = extract_tags(
+        spark.createDataFrame(
+            [(10, [1, 1], {"highway": "motorway"})],
+            "id BIGINT, refs ARRAY<BIGINT>, tags MAP<STRING,STRING>",
+        )
+    )
+    res = engine.run(spark, nodes, ways, str(tmp_path / "out"), with_lineage=True)
+    assert res.counts["exported_nodes"] == 0
