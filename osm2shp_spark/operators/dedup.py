@@ -46,8 +46,13 @@ _SHINGLE_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Deterministic 64-bit hashes of token k-shingles: crc32 per token
-    (zlib, C speed) mixed positionally with odd constants in uint64
-    wraparound arithmetic — fully vectorized over shingles."""
+    (zlib) mixed positionally with odd constants in uint64 wraparound
+    arithmetic.
+
+    REFERENCE twin: this per-document form is the readable spec and the
+    independent oracle for ``_shingle_hashes_batch`` (pytest asserts
+    value equality); the UDFs run the batch form, which hashes the
+    whole Arrow batch with zero per-token Python (r5 verdict #2)."""
     import zlib
 
     toks = text.lower().split()
@@ -68,18 +73,133 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return h
 
 
+def _crc32_table() -> np.ndarray:
+    """The standard reflected CRC-32 table (poly 0xEDB88320), built
+    vectorized — drives the zlib-identical batch hash below."""
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+    return t
+
+
+_CRC32_TABLE = _crc32_table()
+
+
+def _crc32_batch(tokens: pd.Series) -> np.ndarray:
+    """zlib.crc32-identical hashes for a flat token Series with no
+    per-token Python loop: factorize to the unique vocabulary (one
+    C pass; Zipf makes the vocab far smaller than the token stream),
+    UTF-8 encode + lengths via pandas' cython string ops, ragged-pad
+    the encoded vocab into one (vocab x max_len) byte matrix, then run
+    the table-driven CRC recurrence vectorized across the WHOLE vocab
+    — the only Python-level loop is over byte positions (longest
+    token, a few dozen iterations). Hashes scatter back through the
+    factorize codes."""
+    codes, uniques = pd.factorize(tokens, sort=False)
+    if len(uniques) == 0:
+        return np.empty(0, dtype=np.uint32)
+    enc = pd.Series(uniques, dtype=object).str.encode("utf-8")
+    lens = enc.str.len().to_numpy(np.int64)
+    flat = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
+    n, m = len(lens), int(lens.max(initial=0))
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    if m:
+        off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = off[:, None] + np.arange(m)[None, :]
+        mask = np.arange(m)[None, :] < lens[:, None]
+        mat = np.zeros((n, m), dtype=np.uint8)
+        mat[mask] = flat[pos[mask]]
+        for j in range(m):
+            live = mask[:, j]
+            c = crc[live]
+            crc[live] = _CRC32_TABLE[(c ^ mat[live, j]) & 0xFF] ^ (c >> 8)
+    crc ^= np.uint32(0xFFFFFFFF)
+    return crc[codes]
+
+
+def _shingle_hashes_batch(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch twin of :func:`_shingle_hashes` (value-identical,
+    pytest-asserted): token k-shingle hashes for EVERY document of an
+    Arrow batch in flat form. Returns ``(hashes, n_shingles,
+    shingle_offsets)`` — per-doc segments ``hashes[off[d] : off[d] +
+    n[d]]``. Tokenization (lower + whitespace split) runs through
+    pandas' cython string path; hashing through
+    :func:`_crc32_batch`; the positional mixing loop runs k (=3)
+    vectorized passes over the flat shingle array. Documents shorter
+    than k tokens pad with '' exactly like the reference (crc32(b'')
+    == 0, so padding is a zero-scatter, not a concat)."""
+    toks = texts.fillna("").str.lower().str.split()
+    lens = toks.str.len().to_numpy(np.int64)
+    n_docs = len(lens)
+    eff = np.maximum(lens, k)
+    off_eff = np.concatenate(([0], np.cumsum(eff)[:-1]))
+    total = int(eff.sum())
+    # flat token-hash array, '' padding pre-zeroed (crc32(b'') == 0)
+    ids = np.zeros(total, dtype=np.uint64)
+    if n_docs:
+        doc_of = np.repeat(np.arange(n_docs), eff)
+        intra = np.arange(total) - np.repeat(off_eff, eff)
+        real = intra < lens[doc_of]
+        flat_tokens = toks.explode().dropna()
+        ids[real] = _crc32_batch(flat_tokens).astype(np.uint64)
+    n_sh = eff - k + 1
+    sh_off = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    total_sh = int(n_sh.sum())
+    if total_sh == 0:
+        return np.empty(0, np.uint64), n_sh, sh_off
+    # flat window starts: shingle s of doc d reads ids[start + 0..k-1]
+    starts = np.repeat(off_eff, n_sh) + (
+        np.arange(total_sh) - np.repeat(sh_off, n_sh)
+    )
+    with np.errstate(over="ignore"):
+        h = np.zeros(total_sh, dtype=np.uint64)
+        for j in range(k):
+            h = h * np.uint64(0x100000001B3) + ids[starts + j] * np.uint64(
+                _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+            )
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h, n_sh, sh_off
+
+
+#: bound on the transient (NUM_HASHES x shingles) minhash matrix: 64
+#: hashes x 125k shingles x 8 B = 64 MB per chunk — docs are chunked to
+#: this budget, so the batch path's memory stays flat no matter how
+#: large Arrow batches get
+_MINHASH_CHUNK_SHINGLES = 125_000
+
+
 def minhash_signature_udf(k: int = 3):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(text: pd.Series) -> pd.Series:
-        sigs = []
-        for t in text:
-            sh = _shingle_hashes(t or "", k)
-            # vectorized (num_hashes x num_shingles) min
-            v = (
-                (_HA[:, None] * (sh[None, :] % _MERSENNE_P)) + _HB[:, None]
-            ) % np.uint64(_MERSENNE_P)
-            sigs.append(v.min(axis=1).astype(np.int64))
-        return pd.Series(sigs)
+        h, n_sh, sh_off = _shingle_hashes_batch(text, k)
+        n_docs = len(n_sh)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        hp = h % _MERSENNE_P
+        out = np.empty((n_docs, _NUM_HASHES), dtype=np.int64)
+        cum = np.cumsum(n_sh)
+        d0 = 0
+        while d0 < n_docs:
+            # largest doc span whose shingles fit the chunk budget
+            # (always at least one doc)
+            base = cum[d0 - 1] if d0 else 0
+            d1 = max(
+                int(np.searchsorted(cum, base + _MINHASH_CHUNK_SHINGLES, "right")),
+                d0 + 1,
+            )
+            seg = hp[sh_off[d0] : sh_off[d0] + (cum[d1 - 1] - base)]
+            with np.errstate(over="ignore"):
+                v = (
+                    (_HA[:, None] * seg[None, :]) + _HB[:, None]
+                ) % np.uint64(_MERSENNE_P)
+            mins = np.minimum.reduceat(v, sh_off[d0:d1] - sh_off[d0], axis=1)
+            out[d0:d1] = mins.T.astype(np.int64)
+            d0 = d1
+        return pd.Series(list(out))
 
     return _sig
 
@@ -87,21 +207,19 @@ def minhash_signature_udf(k: int = 3):
 def simhash_udf():
     @F.pandas_udf(T.LongType())
     def _sim(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            hs = _shingle_hashes(t or "", 1)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
-            )
-            acc = (2 * bits - 1).sum(axis=0)
-            pos = np.flatnonzero(acc > 0).astype(np.uint64)
-            h = (
-                np.bitwise_or.reduce(np.uint64(1) << pos)
-                if pos.size
-                else np.uint64(0)
-            )
-            out[i] = np.int64(h.astype(np.int64))
-        return pd.Series(out)
+        h, n_sh, sh_off = _shingle_hashes_batch(text, 1)
+        if len(n_sh) == 0:
+            return pd.Series([], dtype=np.int64)
+        out = np.zeros(len(n_sh), dtype=np.uint64)
+        # 64 vectorized passes over the flat token-hash array; per-doc
+        # majority via one segmented reduction each (bit b set ⟺ more
+        # than half the token hashes have it set — 2*ones > n, exactly
+        # the reference's sum(2*bit - 1) > 0)
+        for b in range(64):
+            bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bit, sh_off)
+            out |= (2 * ones > n_sh).astype(np.uint64) << np.uint64(b)
+        return pd.Series(out.astype(np.int64))
 
     return _sim
 

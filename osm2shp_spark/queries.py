@@ -634,14 +634,24 @@ SELECT image_id, "rank", node_id, dist2 FROM r WHERE "rank" <= 3
 
 @register("knn_places", _KNN_ORACLE)
 def q_knn_places(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-NN nearest named place per image point — the scale path
-    (tile neighborhood + provable-radius escape to broadcast) checked
-    against the SQL brute force."""
+    """Exact 3-NN nearest named place per image point, checked against
+    the SQL brute force — through the production strategy selector
+    (r6, guide §3.1: broadcast the side that fits, deliberately): the
+    named-place dimension table is far under the broadcast budget at
+    every sandbox scale, so the selector picks the zero-shuffle
+    numpy-bucket path; above :data:`MAX_BROADCAST_FEATURES` it routes
+    to the shuffle tile-join path, which stays driver-gated via
+    ``knn_places_strategies`` (adaptive variant) and oversize-tested in
+    tests/test_spatial.py. Both paths are bit-identical by
+    construction (same IEEE distance arithmetic, same (dist2, id)
+    tie-break), so the oracle hash is strategy-independent."""
+    from osm2shp_spark.operators.spatial import knn_join_auto
+
     imgs = synthetic_images(spark, sf_dir).select("image_id", "lon", "lat")
     places = classify_nodes(synthetic_nodes(spark, sf_dir)).select(
         "node_id", "lon", "lat"
     )
-    return knn_join(imgs, places, k=3)
+    return knn_join_auto(imgs, places, k=3)
 
 
 def q_knn_places_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
