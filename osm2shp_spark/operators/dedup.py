@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from osm2shp_spark.operators._livecache import LiveCacheRegistry
+
+#: live persisted signature/fingerprint tables — every near-dup
+#: operator's banded self-join reads its signature table twice, so the
+#: operators persist it; the registry bounds live cache entries
+#: across calls (see operators._livecache)
+_SIG_REGISTRY = LiveCacheRegistry(4)
+
 # fixed deterministic MinHash family: (a*x + b) mod p, evaluated in
 # uint64 (a*x wraps mod 2^64 first — a deterministic mix, not exact
 # Carter-Wegman; see minhash_near_dups docstring)
@@ -302,11 +310,15 @@ def jaccard_pairs_blocked(
             block_col,
             "left_anti",
         )
+    # persist: the block self-join reads the tokenized table on both
+    # sides — one tokenize pass instead of two (same rationale as the
+    # near-dup signature tables)
     t = docs.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("_toks"),
-    )
+    ).persist()
+    _SIG_REGISTRY.register(t)
     a = t.alias("a")
     b = t.alias("b")
     inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
@@ -455,6 +467,13 @@ def minhash_near_dups(
             F.expr("CAST(conv(substr(_m, 17, 14), 16, 10) AS BIGINT)").alias("_h2"),
         )
     )
+    # persist the signature table (r6): the banded self-join references
+    # it on BOTH sides, and without the cache point Spark plans the
+    # whole scan -> shingle-explode -> md5 -> 64-min-aggregate subtree
+    # TWICE (plan-visible: two Exchange+HashAggregate towers feeding
+    # the join). The signature pass is the operator's dominant cost, so
+    # caching ~64 longs/doc halves the signature work; the bounded
+    # registry caps live entries across calls.
     sigd = shingled.groupBy("_id").agg(
         *[
             F.min(F.expr(f"(_h1 + {j} * _h2) % {_MH_P}")).alias(f"_g{j}")
@@ -462,7 +481,8 @@ def minhash_near_dups(
         ]
     ).select(
         "_id", F.array(*[f"_g{j}" for j in range(_NUM_HASHES)]).alias("_sig")
-    )
+    ).persist()
+    _SIG_REGISTRY.register(sigd)
     banded = sigd.select(
         "_id",
         "_sig",
@@ -584,9 +604,13 @@ def minhash_near_dups_fast(
     hashing. Empirical recall/precision are pytest-gated instead
     (tests/test_training_ops.py).
     """
+    # persist: the banded self-join reads the signature table on both
+    # sides — without the cache point the Arrow signature UDF runs
+    # twice over every document (same rationale as minhash_near_dups)
     sig = docs.select(
         F.col(id_col).alias("_id"), minhash_signature_udf(shingle_k)(text_col).alias("_sig")
-    )
+    ).persist()
+    _SIG_REGISTRY.register(sig)
     rows_per_band = _NUM_HASHES // _BANDS
     banded = sig.select(
         "_id",
@@ -692,7 +716,11 @@ def simhash_near_dups(
         f"(CASE WHEN 2 * _b{b} > _n THEN {1 << b}L ELSE 0L END)"
         for b in range(_SIMHASH_BITS)
     )
-    sh = bits.select("_id", F.expr(sim_expr).alias("_sh"))
+    # persist: both sides of the banded self-join read the fingerprint
+    # table — without the cache point the tokenize+md5+60-bit-sum
+    # subtree plans twice (same rationale as minhash_near_dups)
+    sh = bits.select("_id", F.expr(sim_expr).alias("_sh")).persist()
+    _SIG_REGISTRY.register(sh)
     banded = sh.select(
         "_id",
         "_sh",
@@ -744,7 +772,12 @@ def simhash_near_dups_fast(
     throughput twin of :func:`simhash_near_dups` when DuckDB parity
     isn't required. Output: (doc_a, doc_b, hamming).
     """
-    sh = docs.select(F.col(id_col).alias("_id"), simhash_udf()(text_col).alias("_sh"))
+    # persist: same double-read-through-the-self-join rationale as the
+    # other near-dup variants
+    sh = docs.select(
+        F.col(id_col).alias("_id"), simhash_udf()(text_col).alias("_sh")
+    ).persist()
+    _SIG_REGISTRY.register(sh)
     banded = sh.select(
         "_id",
         "_sh",

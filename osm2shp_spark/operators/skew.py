@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm2shp_spark.functions.udfs import hex_cell_udf
+from osm2shp_spark.operators._livecache import LiveCacheRegistry
 from osm2shp_spark.operators.classify import classify_ways, staged_nodes
 
 DEFAULT_CHUNK = 1024
@@ -131,6 +132,15 @@ def adaptive_cells(
     )
     for extra in range(1, max_extra_levels + 1):
         res = base_res + extra
+        # persist the level input (r6, ADVICE r5): it is referenced by
+        # the histogram pre-pass AND both branches of the
+        # filter-then-union below, so without it every extra level
+        # re-evaluates the previous level's full union (with its
+        # Arrow re-index) ~3x — compounding 3^levels upstream
+        # recomputations. The LRU registry bounds live cache entries
+        # across calls exactly like knn_join's summary registry.
+        out = out.persist()
+        _register_level(out)
         hist = cell_histogram(
             out.filter(F.col("cell_res") == res - 1), "cell_adaptive"
         ).filter(F.col("n") > hot_threshold)
@@ -155,6 +165,14 @@ def adaptive_cells(
         )
         out = cold.unionByName(hot_pts)
     return out
+
+
+#: live persisted per-level inputs of adaptive_cells — the level input
+#: cannot be unpersisted eagerly because the returned (lazy) union
+#: still references it, so the shared bounded registry caps live
+#: entries (see operators._livecache).
+_LEVEL_REGISTRY = LiveCacheRegistry(4)
+_register_level = _LEVEL_REGISTRY.register
 
 
 def salt_column(df: DataFrame, key_col: str, factor: int) -> DataFrame:

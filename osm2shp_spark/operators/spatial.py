@@ -25,7 +25,6 @@ The oracle comparison (vs brute force SQL) checks this end to end.
 
 from __future__ import annotations
 
-import threading
 from typing import Iterator
 
 import numpy as np
@@ -34,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm2shp_spark.functions import geometry as G
+from osm2shp_spark.operators._livecache import LiveCacheRegistry
 
 #: default tile size in degrees (prefilter grid)
 TILE_SIZE = 0.05
@@ -1017,39 +1017,13 @@ def _knn_ring_expand(
 #: LRU bound keeps caching intact for any consumption pattern of the
 #: most recent calls while capping live entries.
 _MAX_LIVE_SUMMARIES = 4
-_LIVE_SUMMARIES: list[DataFrame] = []
-#: registry guard: concurrent knn_join calls from a multi-threaded
-#: driver must not race append/evict (a torn pop could unpersist a
-#: summary another thread is materializing — correct results, surprise
-#: recomputation)
-_SUMMARIES_LOCK = threading.Lock()
-
-
-def _session_stopped(df: DataFrame) -> bool:
-    try:
-        return df.sparkSession.sparkContext._jsc is None
-    except Exception:
-        return True
+_SUMMARY_REGISTRY = LiveCacheRegistry(_MAX_LIVE_SUMMARIES)
+#: test-visible alias of the registry's live list (oldest first)
+_LIVE_SUMMARIES = _SUMMARY_REGISTRY.entries
 
 
 def _register_summary(df: DataFrame) -> None:
-    with _SUMMARIES_LOCK:
-        # entries owned by stopped sessions drop eagerly — their cached
-        # blocks died with the context, keeping the DataFrame only
-        # pins a dead plan
-        _LIVE_SUMMARIES[:] = [
-            d for d in _LIVE_SUMMARIES if not _session_stopped(d)
-        ]
-        _LIVE_SUMMARIES.append(df)
-        while len(_LIVE_SUMMARIES) > _MAX_LIVE_SUMMARIES:
-            old = _LIVE_SUMMARIES.pop(0)
-            try:
-                # evicted entries recompute if a held result is
-                # re-executed later — correct, just uncached
-                old.unpersist(blocking=False)
-            except Exception:
-                # session stopped / JVM gone: nothing left to release
-                pass
+    _SUMMARY_REGISTRY.register(df)
 
 
 #: broadcast budget for the feature side of kNN (rows ≈ 24 B each)

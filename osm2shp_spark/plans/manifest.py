@@ -142,11 +142,27 @@ def run_stage_resumable(
     if os.path.isdir(out_dir) and any(
         f.endswith(".parquet") for f in os.listdir(out_dir)
     ):
+        # Short-circuit cheaply (r6, ADVICE r5): compare the DISTINCT
+        # partition keys on disk (a column-pruned partial-agg scan —
+        # parquet reads only the key column's pages) against the
+        # manifest, and only read FULL rows for the orphan keys that
+        # actually need lineage digests. The previous shape anti-joined
+        # whole rows and isEmpty()-scanned the stage's entire
+        # accumulated output on every resume — a full rescan in the
+        # common no-orphan case, at odds with the 100 TB resume story.
         done = m.completed_keys(stage).withColumnRenamed("part_key", part_col)
-        orphans = spark.read.parquet(out_dir).join(
-            F.broadcast(done), part_col, "left_anti"
-        )
-        if not orphans.isEmpty():
+        orphan_keys = [
+            r[0]
+            for r in spark.read.parquet(out_dir)
+            .select(part_col)
+            .distinct()
+            .join(F.broadcast(done), part_col, "left_anti")
+            .collect()
+        ]
+        if orphan_keys:
+            orphans = spark.read.parquet(out_dir).filter(
+                F.col(part_col).isin(orphan_keys)
+            )
             m.append(partition_lineage(orphans, stage, part_col, snapshot_id))
     todo = m.pending(inp, stage, part_col)
     # persist: referenced by isEmpty, the write, and the key collect —

@@ -55,13 +55,25 @@ def register_driver_tables(spark: SparkSession, sf_dir: str) -> None:
     unrelated TABLE_OR_VIEW_NOT_FOUND inside some query's analysis.
     """
     # applicationId is unique per context (a recycled Python object id
-    # after a session restart is not); fall back to id() under Connect
+    # after a session restart is not); under Connect use the client's
+    # stable session id rather than id(spark) — a GC'd session's
+    # recycled object id could alias a new one (r6, ADVICE r5)
     try:
         sid = spark.sparkContext.applicationId
     except Exception:
-        sid = id(spark)
+        sid = getattr(
+            getattr(spark, "client", None), "_session_id", None
+        ) or id(spark)
     if _CURRENT_SF.get(sid) == sf_dir:
-        return
+        # don't trust the memo unconditionally: a caller may have
+        # dropped/replaced a temp view by name within the session —
+        # one driver-side catalog probe validates it (r6, ADVICE r5)
+        try:
+            if spark.catalog.tableExists(DRIVER_TABLES[0]):
+                return
+        except Exception:
+            pass
+        _CURRENT_SF.pop(sid, None)
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
