@@ -486,18 +486,29 @@ def embedding_near_dups(
     driver gate value-checks the pair set AND the cosines against
     :func:`embedding_near_dups_oracle`.
     """
-    t = corpus.select(
+    # Shuffle ids, not payloads (guide §2.3/§8 shape, r6): the banded
+    # self-join and the pair dedup previously carried BOTH 64-float
+    # vectors (+norms, ~1 KB/row) through every candidate row and the
+    # dropDuplicates exchange — at 4-bit band selectivity the candidate
+    # set is large by design (s-curve), so the exchange was payload-
+    # bound (measured sf0.1: 22.6 s -> 3.4 s cold). Now the self-join
+    # and dedup move 16-byte id pairs; vectors re-attach to the
+    # DISTINCT pairs only, via two equi-joins against the slim
+    # (id, vec, norm) projection — broadcast here, plain shuffled
+    # joins at planet scale; either way the heavy bytes move once per
+    # distinct pair side, not once per band collision.
+    vecs = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm_col(vec_col).alias("_nrm"),
+    )
+    buckets = corpus.select(
+        F.col(id_col).alias("_id"),
         F.explode(_band_buckets_col(vec_col, dim)).alias("_bkt"),
     )
-    a = t.alias("a")
-    b = t.alias("b")
-    # dedup the candidate pairs BEFORE the exact cosine (a pair can
-    # collide in up to all 6 bands) and reuse per-vector norms — the
-    # sequential-fold dot runs exactly once per distinct pair
-    return (
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")),
@@ -505,12 +516,23 @@ def embedding_near_dups(
         .select(
             F.col("a._id").alias("vec_a"),
             F.col("b._id").alias("vec_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-            F.col("a._nrm").alias("_na"),
-            F.col("b._nrm").alias("_nb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(
+        F.col("_id").alias("vec_a"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    vb = vecs.select(
+        F.col("_id").alias("vec_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    # the sequential-fold dot still runs exactly once per distinct pair
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -591,6 +591,10 @@ def _resolve_tile_window(spark, feats: DataFrame) -> bool:
         return True
 
 
+#: broadcast budget for the feature side of kNN (rows ≈ 24 B each)
+MAX_BROADCAST_FEATURES = 10_000_000
+
+
 def knn_join(
     points: DataFrame,
     features: DataFrame,
@@ -599,7 +603,7 @@ def knn_join(
     feature_id: str = "node_id",
     tile_size: float = TILE_SIZE,
     tile_window: bool | None = None,
-    max_broadcast_features: int | None = None,
+    max_broadcast_features: int | None = MAX_BROADCAST_FEATURES,
     features_count: int | None = None,
 ) -> DataFrame:
     """Exact k nearest features per point → (point_id, rank, feature_id,
@@ -612,8 +616,8 @@ def knn_join(
     the guaranteed-covered radius (one full tile ring in the scaled
     metric); the remainder falls back to a full search over the
     feature table — broadcast when the feature table fits
-    ``max_broadcast_features`` (``None`` = caller-asserted in budget,
-    the :data:`MAX_BROADCAST_FEATURES` contract of R32/R37), else
+    ``max_broadcast_features`` (default :data:`MAX_BROADCAST_FEATURES`,
+    the R32/R37 budget contract; ``None`` = caller-asserted in budget), else
     iterative tile-ring expansion (:func:`_knn_ring_expand` — never a
     full-table broadcast in the very regime where the planner refused
     one). The fallback subtree is built only when the materialized
@@ -1024,10 +1028,6 @@ _LIVE_SUMMARIES = _SUMMARY_REGISTRY.entries
 
 def _register_summary(df: DataFrame) -> None:
     _SUMMARY_REGISTRY.register(df)
-
-
-#: broadcast budget for the feature side of kNN (rows ≈ 24 B each)
-MAX_BROADCAST_FEATURES = 10_000_000
 
 
 def knn_join_broadcast(

@@ -312,3 +312,4 @@ def test_fast_near_dup_paths_catch_exact_dups(spark):
     sh = simhash_near_dups_fast(docs, max_hamming=0).toPandas()
     assert len(mh) >= want_groups
     assert len(sh) >= want_groups
+
