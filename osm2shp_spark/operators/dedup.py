@@ -483,9 +483,18 @@ def minhash_near_dups(
         "_id", F.array(*[f"_g{j}" for j in range(_NUM_HASHES)]).alias("_sig")
     ).persist()
     _SIG_REGISTRY.register(sigd)
+    # Shuffle ids, not payloads (r6, same shape as embedding_near_dups):
+    # the banded self-join and the pair dedup previously carried BOTH
+    # 64-long signatures (~0.5 KB each side per row) on every band
+    # collision — on duplicate-heavy corpora the collision count is
+    # quadratic within collision clusters, so the dedup exchange was
+    # payload-bound (measured 5x sf: 2.24M raw collisions -> 508k
+    # distinct pairs). Pairs now move as 16-byte id pairs; signatures
+    # re-attach to the DISTINCT pairs from the persisted sigd (two
+    # cache-backed equi-joins), so the agreement estimate still runs
+    # exactly once per distinct pair.
     banded = sigd.select(
         "_id",
-        "_sig",
         F.posexplode(
             F.array(
                 *[
@@ -496,20 +505,35 @@ def minhash_near_dups(
         ).alias("_band", "_key"),
     )
     return _minhash_estimate(
-        _banded_self_pairs(banded, "_key", sig="_sig").dropDuplicates(
-            ["doc_a", "doc_b"]
+        _attach_sigs(
+            _banded_self_pairs(banded, "_key").dropDuplicates(
+                ["doc_a", "doc_b"]
+            ),
+            sigd,
         ),
         threshold,
     )
+
+
+def _attach_sigs(pairs: DataFrame, sigd: DataFrame) -> DataFrame:
+    """Re-attach ``_siga``/``_sigb`` to distinct (doc_a, doc_b) pairs
+    from the (persisted) signature table — the heavy arrays join AFTER
+    the dedup, once per distinct pair side."""
+    sa = sigd.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga"))
+    sb = sigd.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb"))
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def _banded_self_pairs(banded: DataFrame, key: str, **carry: str) -> DataFrame:
     """Candidate pairs from a banded table: equi-join on (_band, key)
     with the ``a._id < b._id`` half-matrix cut. ``carry`` maps a
     short name -> source column copied from each side as ``_<name>a``
-    / ``_<name>b``. Shared by all four near-dup variants (portable +
-    fast MinHash and SimHash) — the blocking topology is the load-
-    bearing scale property, so it lives in exactly one place."""
+    / ``_<name>b`` (use it for SLIM columns — the 8-byte SimHash
+    fingerprints; the MinHash paths re-attach their 0.5 KB signature
+    arrays after the pair dedup instead, see ``_attach_sigs``).
+    Shared by all four near-dup variants (portable + fast MinHash and
+    SimHash) — the blocking topology is the load-bearing scale
+    property, so it lives in exactly one place."""
     a, b = banded.alias("a"), banded.alias("b")
     cols = [F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")]
     for name, src in carry.items():
@@ -612,9 +636,10 @@ def minhash_near_dups_fast(
     ).persist()
     _SIG_REGISTRY.register(sig)
     rows_per_band = _NUM_HASHES // _BANDS
+    # slim banding + id-pair dedup + signature re-attach: same
+    # payload-diet rationale as the portable path above
     banded = sig.select(
         "_id",
-        "_sig",
         F.posexplode(
             F.array(
                 *[
@@ -625,8 +650,11 @@ def minhash_near_dups_fast(
         ).alias("_band", "_bucket"),
     )
     return _minhash_estimate(
-        _banded_self_pairs(banded, "_bucket", sig="_sig").dropDuplicates(
-            ["doc_a", "doc_b"]
+        _attach_sigs(
+            _banded_self_pairs(banded, "_bucket").dropDuplicates(
+                ["doc_a", "doc_b"]
+            ),
+            sig,
         ),
         threshold,
     )

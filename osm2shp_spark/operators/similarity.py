@@ -83,40 +83,178 @@ def duck_cosine(a: str, b: str) -> str:
 # exact brute-force top-k
 # ---------------------------------------------------------------------------
 
+#: probe budget for the numpy scorer's driver collect + broadcast
+#: (vectors ≈ 520 B each → ~52 MB at the budget)
+MAX_BROADCAST_PROBES = 100_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_probes: int | None = MAX_BROADCAST_PROBES,
 ) -> DataFrame:
     """Exact cosine top-k: (probe_id, rank, neighbor_id, cosine).
 
     Self-matches excluded; ties broken by neighbor id. The probe side
     is broadcast; the corpus is scanned once.
+
+    Physical strategy (r6): probe sets within ``max_broadcast_probes``
+    score through :func:`_cosine_topk_broadcast_numpy` — the
+    probes×corpus dot products run as vectorized NumPy with the SAME
+    sequential-over-dimensions IEEE accumulation order as the SQL fold
+    (bit-identical cosines, pytest- and oracle-asserted), and each
+    scan slice pre-reduces to a threshold-inclusive per-probe
+    candidate superset so the final exact window ranks thousands of
+    rows instead of |corpus|x|probes|. The r6 before-plan evaluated
+    the interpreted ``aggregate(zip_with(...))`` lambda per pair —
+    quadratically many pairs x 64 interpreted steps was the measured
+    scale wall (sf0.5: 11.4 s; numpy path 1.0 s). Above the budget
+    (or ``max_broadcast_probes=None``) the pure-SQL plan below runs
+    unchanged — same rows bit for bit.
     """
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("_pvec"),
-        norm_col(vec_col).alias("_pn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm_col(vec_col).alias("_cn"),
-    )
-    sim = cosine_from_norms("_pvec", "_cvec", "_pn", "_cn")
+    if max_broadcast_probes is not None and (
+        probes.count() <= max_broadcast_probes
+    ):
+        cand = _cosine_topk_broadcast_numpy(
+            corpus, probes, k, id_col, vec_col
+        )
+    else:
+        p = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("_pvec"),
+            norm_col(vec_col).alias("_pn"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            norm_col(vec_col).alias("_cn"),
+        )
+        sim = cosine_from_norms("_pvec", "_cvec", "_pn", "_cn")
+        cand = (
+            c.crossJoin(F.broadcast(p))
+            .filter(F.col("probe_id") != F.col("neighbor_id"))
+            .select("probe_id", "neighbor_id", sim.alias("cosine"))
+        )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        c.crossJoin(F.broadcast(p))
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def _cosine_topk_broadcast_numpy(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Candidate generator for :func:`cosine_topk`'s broadcast regime:
+    (probe_id, neighbor_id, cosine) rows guaranteed to contain every
+    probe's global top-k, self-matches excluded.
+
+    Bit-parity with the SQL fold: dot products and squared norms
+    accumulate SEQUENTIALLY over dimensions (``acc += x_j * y_j``, one
+    rounding for the product and one for the sum per step — exactly
+    the fold's ``acc + v`` order; NumPy elementwise ops do not fuse),
+    inputs are widened to float64 up front (the fold CASTs each element),
+    and the cosine divides the dot by the rounded ``cn * pn`` product.
+    Zero-norm vectors yield NULL cosine like the SQL ``nullif``.
+
+    Per (scan-slice, probe-chunk) the reducer keeps every row whose
+    sort key reaches the k-th best (threshold-INCLUSIVE, so boundary
+    cosine ties all survive — the final window, not this pass, breaks
+    ties by neighbor id), plus NULL-cosine rows only when a probe has
+    fewer than k scored candidates in the slice. Memory is bounded by
+    the slice x chunk score matrix (~8k x 1k doubles = 64 MB)."""
+    pid_t = dict(
+        (f.name, f.dataType.simpleString()) for f in probes.schema.fields
+    )[id_col]
+    nid_t = dict(
+        (f.name, f.dataType.simpleString()) for f in corpus.schema.fields
+    )[id_col]
+    ppdf = probes.select(id_col, vec_col).toPandas()
+    pids = ppdf[id_col].to_numpy()
+    pv = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ppdf[vec_col]]
+    ) if len(ppdf) else np.zeros((0, 1))
+    n_probe, dim = pv.shape
+    # probe norms: same sequential-over-dims order as the SQL fold
+    pn = np.zeros(n_probe, dtype=np.float64)
+    for j in range(dim):
+        pn += pv[:, j] * pv[:, j]
+    pn = np.sqrt(pn)
+    bc = corpus.sparkSession.sparkContext.broadcast((pids, pv, pn))
+    out_schema = f"probe_id {pid_t}, neighbor_id {nid_t}, cosine double"
+    ROWS, PCHUNK = 8192, 1024
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pids_, pv_, pn_ = bc.value
+        np_, dim_ = pv_.shape
+        if np_ == 0:
+            return
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nids = pdf[id_col].to_numpy()
+            xv = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            for r0 in range(0, len(nids), ROWS):
+                xs = xv[r0 : r0 + ROWS]
+                ns = nids[r0 : r0 + ROWS]
+                n = len(ns)
+                cn = np.zeros(n, dtype=np.float64)
+                for j in range(dim_):
+                    cn += xs[:, j] * xs[:, j]
+                cn = np.sqrt(cn)
+                for p0 in range(0, np_, PCHUNK):
+                    pvc = pv_[p0 : p0 + PCHUNK]
+                    pnc = pn_[p0 : p0 + PCHUNK]
+                    pidc = pids_[p0 : p0 + PCHUNK]
+                    m = len(pidc)
+                    dots = np.zeros((n, m), dtype=np.float64)
+                    for j in range(dim_):
+                        dots += xs[:, j, None] * pvc[None, :, j]
+                    denom = cn[:, None] * pnc[None, :]
+                    valid = denom != 0.0
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / denom
+                    # sort keys: real candidates by -cos; NULL-cosine
+                    # rows nearly-last (emit only when a probe is short
+                    # of scored candidates); self-matches truly last
+                    # and never emitted
+                    key = np.where(valid, -cos, np.finfo(np.float64).max)
+                    key[ns[:, None] == pidc[None, :]] = np.inf
+                    if n > k:
+                        kth = np.partition(key, k - 1, axis=0)[k - 1]
+                    else:
+                        kth = np.full(m, np.finfo(np.float64).max)
+                    emit = (key <= kth[None, :]) & (key < np.inf)
+                    ri, ci = np.nonzero(emit)
+                    if not len(ri):
+                        continue
+                    vals = cos[ri, ci]
+                    ok = valid[ri, ci]
+                    # object array: NULL cosine must reach Spark as
+                    # None (a float NaN is NOT SQL NULL)
+                    cosout = vals.astype(object)
+                    cosout[~ok] = None
+                    yield pd.DataFrame(
+                        {
+                            "probe_id": pidc[ci],
+                            "neighbor_id": ns[ri],
+                            "cosine": cosout,
+                        }
+                    )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -313,3 +313,56 @@ def test_fast_near_dup_paths_catch_exact_dups(spark):
     assert len(mh) >= want_groups
     assert len(sh) >= want_groups
 
+
+
+def test_cosine_topk_numpy_path_bit_identical_to_sql(spark):
+    """r6: the broadcast-numpy cosine scorer must reproduce the SQL
+    fold path bit for bit — same cosines (IEEE order preserved), same
+    tie-breaks, NULL for zero-norm vectors — including a corpus with
+    exact-duplicate vectors (cosine ties at the top-k boundary) and an
+    all-zero vector."""
+    import pandas as pd
+
+    from osm2shp_spark.sources.tables import register_driver_tables
+
+    register_driver_tables(spark, SF_SMALL)
+    emb = spark.table("embeddings")
+    probes = emb.filter("vec_id % 50 = 0")
+    a = (
+        cosine_topk(emb, probes, k=5, max_broadcast_probes=None)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cosine_topk(emb, probes, k=5)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    # adversarial: duplicated vectors (boundary ties) + zero vector
+    base = [[float((i * 7 + j) % 5 - 2) for j in range(4)] for i in range(6)]
+    rows = []
+    vid = 0
+    for copies, vec in zip((3, 3, 2, 1, 1, 1), base):
+        for _ in range(copies):
+            rows.append((vid, vec))
+            vid += 1
+    rows.append((vid, [0.0, 0.0, 0.0, 0.0]))  # zero-norm -> NULL cosine
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pr = df.filter("vec_id in (0, 3, 11)")
+    x = (
+        cosine_topk(df, pr, k=4, max_broadcast_probes=None)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    y = (
+        cosine_topk(df, pr, k=4)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert x.equals(y)
