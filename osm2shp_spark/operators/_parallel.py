@@ -1,0 +1,34 @@
+"""Input-parallelism guard for heavy per-row operator pipelines.
+
+The driver parquet fixtures are single-row-group files, and a Parquet
+scan cannot split below row-group granularity — so any expensive
+per-row chain (shingle explode + md5, vector banding, codec work)
+that Catalyst fuses into the scan stage runs in ONE task no matter how
+many cores the session has (guide §2.5: "one huge unsplittable file —
+repartition immediately after the read").
+
+``ensure_min_parallelism`` is the operator-side guard: identity
+whenever the input already has at least ``defaultParallelism``
+partitions (every production multi-file/multi-row-group layout), a
+cheap round-robin repartition otherwise. Distinct from
+``sources.tables._balance_scan`` (registration-time, fact tables
+only): operators whose per-input-row work is orders of magnitude above
+a scan's apply this regardless of input *size* — a 0.5 MB document
+table still fans out to thousands of shingle-hash rows per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    try:
+        parts = df.rdd.getNumPartitions()
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no RDD access — leave as-is
+        return df
+    if parts >= cores:
+        return df
+    return df.repartition(cores)

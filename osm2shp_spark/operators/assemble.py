@@ -63,7 +63,7 @@ ASSEMBLED_SCHEMA = (
 
 def assemble_ways(
     nodes: DataFrame, ways: DataFrame, compact_pos: bool = False,
-    quantized: bool = False,
+    quantized: bool = False, defer_filters: bool = False,
 ) -> DataFrame:
     """General (pure-Catalyst) assembly path.
 
@@ -113,7 +113,7 @@ def assemble_ways(
     from osm2shp_spark.rules import pair_kind_sql, pair_layer_sql, way_pair_idx_sql
 
     itype = "smallint" if compact_pos else "int"
-    classified = classify_ways(ways)
+    classified = classify_ways(ways, defer_filters=defer_filters)
     exploded = classified.select(
         F.col("id").alias("way_id"),
         F.expr(way_pair_idx_sql()).alias("_li"),
@@ -169,6 +169,7 @@ def assemble_ways_mapside(
     nodes: DataFrame,
     ways: DataFrame,
     max_broadcast_nodes: int | None = -1,
+    defer_filters: bool = False,
 ) -> DataFrame:
     """Zero-shuffle fast path: broadcast node coords, assemble in place.
 
@@ -188,14 +189,14 @@ def assemble_ways_mapside(
     if max_broadcast_nodes == -1:
         max_broadcast_nodes = NODE_BROADCAST_LIMIT
     if max_broadcast_nodes is not None and nodes.count() > max_broadcast_nodes:
-        return assemble_ways(nodes, ways)
+        return assemble_ways(nodes, ways, defer_filters=defer_filters)
     spark = nodes.sparkSession
     build = staged_nodes(nodes).toPandas()
     if not len(build):
         # empty build side: no way can fully resolve (all-or-nothing),
         # and the searchsorted lookup below would index a zero-length
         # array; the general path returns the identical empty result
-        return assemble_ways(nodes, ways)
+        return assemble_ways(nodes, ways, defer_filters=defer_filters)
     ids = build["id"].to_numpy(np.int64)
     order = np.argsort(ids, kind="stable")
     bc = spark.sparkContext.broadcast(
@@ -206,7 +207,7 @@ def assemble_ways_mapside(
         )
     )
 
-    classified = classify_ways(ways).select(
+    classified = classify_ways(ways, defer_filters=defer_filters).select(
         F.col("id").alias("way_id"), "layer", "kind", "n_refs", "refs"
     )
 
@@ -254,6 +255,7 @@ def assemble_ways_auto(
     prefer_zero_shuffle: bool = False,
     return_strategy: bool = False,
     quantized: bool = False,
+    defer_filters: bool = False,
 ) -> DataFrame:
     """Strategy selector for the flagship join — the size-estimate
     promise of the module docstring, wired into the hot path:
@@ -280,11 +282,14 @@ def assemble_ways_auto(
     if max_refs >= mega_threshold:
         from osm2shp_spark.operators.skew import assemble_ways_salted
 
-        choice, out = "salted", assemble_ways_salted(nodes, ways)
+        choice, out = "salted", assemble_ways_salted(
+            nodes, ways, defer_filters=defer_filters
+        )
     elif prefer_zero_shuffle and nodes.count() <= node_broadcast_limit:
         # budget already proven by the count above — skip the pre-pass
         choice, out = "mapside", assemble_ways_mapside(
-            nodes, ways, max_broadcast_nodes=None
+            nodes, ways, max_broadcast_nodes=None,
+            defer_filters=defer_filters,
         )
     else:
         # the max_refs stat just proved the smallint pos bound (the
@@ -294,13 +299,15 @@ def assemble_ways_auto(
         # by 1 ulp; see assemble_ways) — a data property no cheap stat
         # can prove, so it is never auto-enabled.
         choice, out = "general", assemble_ways(
-            nodes, ways, compact_pos=max_refs <= 32767, quantized=quantized
+            nodes, ways, compact_pos=max_refs <= 32767, quantized=quantized,
+            defer_filters=defer_filters,
         )
     return (out, choice) if return_strategy else out
 
 
 def assembly_counters(
-    nodes: DataFrame, ways: DataFrame, assembled: DataFrame | None = None
+    nodes: DataFrame, ways: DataFrame, assembled: DataFrame | None = None,
+    defer_filters: bool = False,
 ) -> DataFrame:
     """O17 observability counters as one aggregate row (handler.cc:59-61,
     84-85,108-109 — upgraded from stderr prints to a queryable result).
@@ -329,7 +336,11 @@ def assembly_counters(
             F.count(F.expr(routed_flag)).alias("routed_ways"),
         )
     )
-    exported = assemble_ways(nodes, ways) if assembled is None else assembled
+    exported = (
+        assemble_ways(nodes, ways, defer_filters=defer_filters)
+        if assembled is None
+        else assembled
+    )
     return (
         both.crossJoin(exported.agg(F.count(F.lit(1)).alias("exported_ways")))
         .select(

@@ -38,20 +38,41 @@ def extract_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     return df.select("*", *cols)
 
 
-def classify_ways(ways: DataFrame, refs_col: str = "refs") -> DataFrame:
+def classify_ways(
+    ways: DataFrame, refs_col: str = "refs", defer_filters: bool = False
+) -> DataFrame:
     """Add ``kind``/``n_refs``/``layer``, apply min-vertex + has-layer filters.
 
     Kind is decided BEFORE layer match and the vertex count is on raw
     refs (duplicates included) — both reference subtleties preserved.
     Returns only ways that route to a layer (the reference ``break``s
     on first match whether or not resolution later succeeds).
+
+    ``defer_filters``: keep the classification predicates at THIS point
+    of the plan instead of letting the optimizer extract their
+    tag-only weakenings and push those below the input's own operators.
+    For parquet-backed ways tables pushdown is pure win (tag equality
+    predicates prune at the scan), so the default stays False. For
+    *derived* inputs whose tag columns are expensive expressions of the
+    way id (the synthetic gate fixture: tags = CASE chains over
+    ``id % 17`` above a collect_list aggregate), the extracted
+    weakenings get re-expanded by NullPropagation /
+    PushFoldableIntoBranches into a boolean tower that costs ~5 us/row
+    with no subexpression elimination, evaluated once per *base* row in
+    the fixture's single-split scan task (measured: 2.2 s of
+    way_assembly's 3.1 s wall). Each predicate is then guarded with
+    ``OR size(refs) < 0`` — never true (size is null or >= 0), but it
+    makes every conjunct reference the aggregated refs column, so no
+    id-only weakening is extractable and the predicates evaluate here:
+    once per way, in the post-exchange stage, in parallel.
     """
+    guard = f" OR size({refs_col}) < 0" if defer_filters else ""
     return (
         ways.withColumn("kind", F.expr(way_kind_sql()))
         .withColumn("n_refs", F.size(refs_col))
-        .filter(F.expr(min_vertex_sql("kind", "n_refs")))
+        .filter(F.expr(f"({min_vertex_sql('kind', 'n_refs')}){guard}"))
         .withColumn("layer", F.expr(way_layer_sql("kind")))
-        .filter(F.col("layer").isNotNull())
+        .filter(F.expr(f"(layer IS NOT NULL){guard}"))
     )
 
 

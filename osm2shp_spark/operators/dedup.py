@@ -450,6 +450,8 @@ def minhash_near_dups(
     twin; both are one-hash-per-shingle now — the fast path trades md5
     for crc32 and stays preferable on raw throughput).
     """
+    from osm2shp_spark.operators._parallel import ensure_min_parallelism
+
     rows_per_band = _NUM_HASHES // _BANDS
     toks, sh, _, _, _, _ = _minhash_sig_sql(text_col, "spark", shingle_k)
     # Spark-side plan: explode shingles to rows so md5/h1/h2 run as
@@ -457,8 +459,11 @@ def minhash_near_dups(
     # lambdas are interpreted per element — measured ~8x slower), then
     # ONE groupBy with 64 map-side-partial min aggregates rebuilds the
     # signature. Values are identical to the oracle's list form.
+    # The shingle+md5 chain fuses with the doc scan, so a 1-split scan
+    # would run it single-task — spread first (r6, guide §2.5).
     shingled = (
-        docs.select(F.col(id_col).alias("_id"), F.expr(toks).alias("_toks"))
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col).alias("_id"), F.expr(toks).alias("_toks"))
         .select("_id", F.explode(F.expr(sh)).alias("_s"))
         .withColumn("_m", F.md5("_s"))
         .select(
@@ -727,7 +732,11 @@ def simhash_near_dups(
     # + a flat 60-term reassembly expression — no interpreted Catalyst
     # lambdas (measured ~8x on the fingerprint stage). Values are
     # identical to the oracle's list-HOF form.
-    tok = docs.select(
+    from osm2shp_spark.operators._parallel import ensure_min_parallelism
+
+    # tokenize+md5 fuses with the doc scan — spread a 1-split scan
+    # first (r6, guide §2.5; same rationale as minhash_near_dups)
+    tok = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), " "))

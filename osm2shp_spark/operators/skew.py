@@ -31,7 +31,8 @@ DEFAULT_CHUNK = 1024
 
 
 def assemble_ways_salted(
-    nodes: DataFrame, ways: DataFrame, chunk: int = DEFAULT_CHUNK
+    nodes: DataFrame, ways: DataFrame, chunk: int = DEFAULT_CHUNK,
+    defer_filters: bool = False,
 ) -> DataFrame:
     """Skew-proof variant of ``assemble.assemble_ways`` — identical
     output (equivalence-tested), bounded reducer keys.
@@ -45,7 +46,7 @@ def assemble_ways_salted(
 
     if chunk > 32767:
         raise ValueError("chunk must fit smallint in-chunk positions (<= 32767)")
-    classified = classify_ways(ways)
+    classified = classify_ways(ways, defer_filters=defer_filters)
     # same tinyint (layer, kind) coding as assemble_ways: 1 byte of
     # classification through the exploded join + BOTH groupBy shuffles.
     # Exchange diet: global order = (chunk_id, pos % chunk), so only

@@ -1187,7 +1187,14 @@ def knn_join_broadcast(
             if out_frames:
                 yield pd.concat(out_frames, ignore_index=True)
 
-    return points.select(point_id, "lon", "lat").mapInPandas(run, schema=out_schema)
+    from osm2shp_spark.operators._parallel import ensure_min_parallelism
+
+    # the numpy kernel is partition-parallel only — a 1-split point
+    # scan would run it in one task (r6, guide §2.5); identity when the
+    # scan already splits wide enough
+    return ensure_min_parallelism(
+        points.select(point_id, "lon", "lat")
+    ).mapInPandas(run, schema=out_schema)
 
 
 def auto_tile_size(

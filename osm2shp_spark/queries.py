@@ -170,7 +170,9 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars (see ``_assembly_scalar_projection``)."""
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    return _assembly_scalar_projection(assemble_ways(nodes, ways))
+    return _assembly_scalar_projection(
+        assemble_ways(nodes, ways, defer_filters=True)
+    )
 
 
 def _mega_assembly_oracle() -> str:
@@ -201,7 +203,9 @@ def q_way_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_mega_ways(spark, sf_dir)
-    assembled, choice = assemble_ways_auto(nodes, ways, return_strategy=True)
+    assembled, choice = assemble_ways_auto(
+        nodes, ways, return_strategy=True, defer_filters=True
+    )
     assert choice == "salted", choice
     return _assembly_scalar_projection(assembled)
 
@@ -392,7 +396,7 @@ def q_generalize_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    gen = generalize_ways(assemble_ways(nodes, ways))
+    gen = generalize_ways(assemble_ways(nodes, ways, defer_filters=True))
     qsum = lambda c: (  # noqa: E731
         f"aggregate(transform({c}, x -> {_q6i('x')}), "
         f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -492,7 +496,9 @@ def q_geom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    return dedup_geometries(assemble_ways(nodes, ways)).select(
+    return dedup_geometries(
+        assemble_ways(nodes, ways, defer_filters=True)
+    ).select(
         "way_id", "layer", "kind", "n_pts"
     )
 
@@ -509,7 +515,9 @@ def q_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    return build_polylines(assemble_ways(nodes, ways)).select(
+    return build_polylines(
+        assemble_ways(nodes, ways, defer_filters=True)
+    ).select(
         "layer", "polyline_key", "n_segments", "n_pts"
     )
 
@@ -551,7 +559,7 @@ FROM (SELECT count(*) AS processed_ways FROM ways) p,
 def q_way_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = synthetic_nodes(spark, sf_dir)
     ways = synthetic_ways(spark, sf_dir)
-    return assembly_counters(nodes, ways)
+    return assembly_counters(nodes, ways, defer_filters=True)
 
 
 # ---------------------------------------------------------------------------
@@ -722,7 +730,9 @@ def q_way_assembly_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard's count() pre-pass would re-run the synthetic generation
     # pipeline — a second full input pass — just to prove it
     return _assembly_scalar_projection(
-        assemble_ways_mapside(nodes, ways, max_broadcast_nodes=None)
+        assemble_ways_mapside(
+            nodes, ways, max_broadcast_nodes=None, defer_filters=True
+        )
     )
 
 
@@ -950,7 +960,8 @@ def q_shapefile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _tf.mkdtemp(prefix="shp_gate_")
     ways = assemble_ways(
-        synthetic_nodes(spark, sf_dir), synthetic_ways(spark, sf_dir)
+        synthetic_nodes(spark, sf_dir), synthetic_ways(spark, sf_dir),
+        defer_filters=True,
     )
     export_shapefiles(None, ways, out)
     rows = []

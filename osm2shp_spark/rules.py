@@ -167,12 +167,27 @@ def way_pair_idx_sql(
 
 
 def pair_layer_sql(idx_expr: str) -> str:
-    """Decode the tinyint pair index back to the layer string."""
-    arr = ", ".join(_sq(lay) for lay, _ in WAY_PAIRS)
-    return f"element_at(array({arr}), CAST({idx_expr} AS INT) + 1)"
+    """Decode the tinyint pair index back to the layer string.
+
+    A total CASE, not ``element_at(array(...), idx + 1)``: when a
+    downstream filter on the decoded string is pushed below the
+    classification filters (legal once those are deferred —
+    classify_ways ``defer_filters``), the decode can be evaluated on
+    not-yet-routed rows whose index is NULL, and ANSI ``element_at``
+    codegen faults on the null index's 0 slot value
+    (INVALID_INDEX_OF_ZERO). CASE is null-total by construction and
+    equally cheap at 6 entries.
+    """
+    whens = " ".join(
+        f"WHEN {i} THEN {_sq(lay)}" for i, (lay, _) in enumerate(WAY_PAIRS)
+    )
+    return f"CASE CAST({idx_expr} AS INT) {whens} END"
 
 
 def pair_kind_sql(idx_expr: str) -> str:
-    """Decode the tinyint pair index back to the kind string."""
-    arr = ", ".join(_sq(kd) for _, kd in WAY_PAIRS)
-    return f"element_at(array({arr}), CAST({idx_expr} AS INT) + 1)"
+    """Decode the tinyint pair index back to the kind string (total
+    CASE — same null-safety rationale as :func:`pair_layer_sql`)."""
+    whens = " ".join(
+        f"WHEN {i} THEN {_sq(kd)}" for i, (_, kd) in enumerate(WAY_PAIRS)
+    )
+    return f"CASE CAST({idx_expr} AS INT) {whens} END"

@@ -48,8 +48,15 @@ def make_image(idx: int) -> np.ndarray:
 
 
 def generate_images_pdf(n: int) -> pd.DataFrame:
+    return _images_pdf_for_indices(range(n))
+
+
+def _images_pdf_for_indices(indices) -> pd.DataFrame:
+    """Fixture rows for an arbitrary index set — every row is a pure
+    function of its index (per-index seeded RNGs), so driver-side and
+    distributed generation produce byte-identical rows."""
     rows = []
-    for i in range(n):
+    for i in indices:
         arr = make_image(i)
         h, w, _ = arr.shape
         fmt = ("ppm", "png", "dcx")[i % 3]
@@ -88,7 +95,24 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
 
 
 def image_table(spark: SparkSession, n: int = 200) -> DataFrame:
-    return spark.createDataFrame(generate_images_pdf(n), schema=IMAGE_SCHEMA)
+    """Distributed fixture generation: encode/phash each image on the
+    executor that owns its index instead of single-threaded on the
+    driver (guide §5 — the driver should do almost no data work;
+    measured 1.5 s of the 2.2 s image_decode_stats wall at n=1200).
+    Rows are pure functions of the index, so the table is identical to
+    the driver-side ``generate_images_pdf`` (pytest-asserted)."""
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext; modest default
+        parallelism = 8
+    n_parts = max(1, min(n, parallelism))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _images_pdf_for_indices(pdf["id"].tolist())
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, IMAGE_SCHEMA)
 
 
 def images_count_for_sf(sf_dir: str) -> int:

@@ -35,6 +35,67 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: Tables below this size stay unbalanced. Sized so that NOTHING
+#: balances at the driver's measured sf0.1 (largest table 10.8 MB):
+#: measured on the frozen bench, view-level balancing there was a net
+#: loss — the win cases (knn points, dedup signature stages) are per-
+#: row-work-bound, not scan-bound, and get their parallelism from the
+#: operator-side ``ensure_min_parallelism`` guard instead; the extra
+#: exchange regressed tile_vector_join 0.51->0.75 s and way_assembly
+#: 3.14->3.34 s. Above ~32 MB the scan *decode* itself is the
+#: single-task bottleneck, which only an input-side respread fixes.
+MIN_BALANCE_BYTES = 32 * 1024 * 1024
+
+
+def _balance_scan(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    min_bytes: int | None = None,
+) -> DataFrame:
+    """Give a fact-table view real scan-stage parallelism.
+
+    The driver parquet files are written as ONE row group each, and a
+    Parquet scan cannot split below row-group granularity — so every
+    expression/partial-aggregate fused into a scan stage runs on one
+    core regardless of cluster width (measured: way_assembly's map
+    stage 2.8 s CPU in 1 of 32 slots). A round-robin
+    ``repartition(defaultParallelism)`` right after the read spreads
+    that work; the exchange moves only the table's raw bytes once.
+
+    Scale-adaptive by construction: when the scan already yields at
+    least ``defaultParallelism`` splits (any real multi-row-group /
+    multi-file table, i.e. every production layout), this is the
+    identity — no exchange is added at 100 TB. Guarded further by
+    :data:`MIN_BALANCE_BYTES` so dimension tables skip it, and by a
+    try/except so Spark Connect sessions (no RDD access) fall back to
+    the raw scan.
+    """
+    if _input_bytes(path) < (
+        MIN_BALANCE_BYTES if min_bytes is None else min_bytes
+    ):
+        return df
+    try:
+        parts = df.rdd.getNumPartitions()
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if parts >= cores:
+        return df
+    return df.repartition(cores)
+
+
+def _input_bytes(path: str) -> int:
+    """Size of a parquet file, or the files of a parquet directory."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    return os.path.getsize(path)
+
+
 #: sf_dir whose views are CURRENTLY registered, per session — temp
 #: views are session-GLOBAL name slots, so the memo must track what
 #: the names point at right now (a seen-pairs set would skip the
@@ -78,7 +139,8 @@ def register_driver_tables(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             raise FileNotFoundError(f"driver table missing: {path}")
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = read_table(spark, sf_dir, name)
+        _balance_scan(spark, df, path).createOrReplaceTempView(name)
     _CURRENT_SF[sid] = sf_dir
 
 
