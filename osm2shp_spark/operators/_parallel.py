@@ -22,6 +22,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def collapse_barrier(df: DataFrame) -> DataFrame:
+    """Projection-collapse / predicate-pushdown boundary with no
+    shuffle: re-emit every column through a single-element ``inline``
+    Generate. Downstream expressions then reference plain attributes
+    instead of inlining this DataFrame's expression trees — the lever
+    against two optimizer pathologies on *derived* (expression-heavy)
+    inputs: multiplicative expression blowup past janino's 64 KB
+    method limit (a doomed, uncached ~1 s compile attempt on every
+    execution before the interpreted fallback), and expensive
+    predicates being substituted+pushed into a single-task scan stage.
+    Costs one struct per row; safe at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.inline(F.array(F.struct(*[F.col(c) for c in df.columns])))
+    )
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     try:

@@ -48,32 +48,45 @@ def classify_ways(
     Returns only ways that route to a layer (the reference ``break``s
     on first match whether or not resolution later succeeds).
 
-    ``defer_filters``: keep the classification predicates at THIS point
-    of the plan instead of letting the optimizer extract their
-    tag-only weakenings and push those below the input's own operators.
-    For parquet-backed ways tables pushdown is pure win (tag equality
+    ``defer_filters``: evaluate the classification expressions on the
+    input's materialized columns instead of letting the optimizer
+    substitute and push them below the input's own operators. For
+    parquet-backed ways tables pushdown is pure win (tag equality
     predicates prune at the scan), so the default stays False. For
     *derived* inputs whose tag columns are expensive expressions of the
     way id (the synthetic gate fixture: tags = CASE chains over
-    ``id % 17`` above a collect_list aggregate), the extracted
-    weakenings get re-expanded by NullPropagation /
-    PushFoldableIntoBranches into a boolean tower that costs ~5 us/row
-    with no subexpression elimination, evaluated once per *base* row in
-    the fixture's single-split scan task (measured: 2.2 s of
-    way_assembly's 3.1 s wall). Each predicate is then guarded with
-    ``OR size(refs) < 0`` — never true (size is null or >= 0), but it
-    makes every conjunct reference the aggregated refs column, so no
-    id-only weakening is extractable and the predicates evaluate here:
-    once per way, in the post-exchange stage, in parallel.
+    ``id % 17`` above a collect_list aggregate), letting the filters
+    push means NullPropagation / PushFoldableIntoBranches re-expand
+    them into boolean towers that (a) cost ~5 us/row with no
+    subexpression elimination, evaluated once per *base* row in the
+    fixture's single-split scan task (measured: 2.2 s of way_assembly's
+    3.1 s wall), and (b) in deeper pipelines (polylines) blow past
+    janino's 64 KB method limit, paying a doomed ~1 s compile attempt
+    on every execution. The barrier is a single-element ``inline``
+    Generate over all input columns — a projection-collapse and
+    pushdown boundary (same trick as ``spatial._strip_closed_ring``):
+    downstream expressions see plain attributes, stay small, compile,
+    and run once per way in the post-exchange stage, in parallel
+    (measured: way_assembly 1.8 -> 1.4 s, polylines 7.5 -> 3.1 s noop).
     """
-    guard = f" OR size({refs_col}) < 0" if defer_filters else ""
-    return (
+    from osm2shp_spark.operators._parallel import collapse_barrier
+
+    if defer_filters:
+        ways = collapse_barrier(ways)
+    out = (
         ways.withColumn("kind", F.expr(way_kind_sql()))
         .withColumn("n_refs", F.size(refs_col))
-        .filter(F.expr(f"({min_vertex_sql('kind', 'n_refs')}){guard}"))
+        .filter(F.expr(min_vertex_sql("kind", "n_refs")))
         .withColumn("layer", F.expr(way_layer_sql("kind")))
-        .filter(F.expr(f"(layer IS NOT NULL){guard}"))
+        .filter(F.col("layer").isNotNull())
     )
+    if defer_filters:
+        # barrier the OUTPUT too: kind/layer otherwise re-inline into
+        # every downstream consumer (the pair-index coding, pushed
+        # kind filters), and in deeper pipelines (polylines) the
+        # re-multiplied towers are what crossed 64 KB
+        out = collapse_barrier(out)
+    return out
 
 
 def staged_nodes(nodes: DataFrame) -> DataFrame:

@@ -173,13 +173,27 @@ def _strip_closed_ring(polygons: DataFrame) -> DataFrame:
     """Drop the closing duplicate vertex (first == last) from the ring
     arrays — the same normalization the NumPy kernel applies per call,
     done ONCE on the dimension side so the JVM refine expression works
-    on open rings. bbox min/max are unaffected."""
+    on open rings. bbox min/max are unaffected.
+
+    The stripped arrays are re-emitted through a single-element
+    ``inline`` Generate. That Generate is a projection-collapse
+    boundary: without it, every downstream reference (16 vertex probes
+    in ``_axis_rect_sql``, two rotations + the 4-way ``arrays_zip`` in
+    ``_with_ring_edges``) inlines the full strip CASE — and when the
+    ring source is itself a wide expression (the synthetic fixtures),
+    the collapsed dimension-side Project blows past janino's 64 KB
+    method limit. That compile attempt is doomed but not free: it
+    failed on EVERY execution (failures are not cached), ~0.8 s of
+    driver wall per pip_rect run before the interpreted fallback.
+    Measured: pip_rect 1.54 s -> 0.66 s, compile failures 1/run -> 0.
+    The Generate costs one struct per polygon row, no shuffle — free
+    at any scale next to the join it feeds."""
     closed = (
         (F.size("lons") >= 2)
         & (F.element_at("lons", 1) == F.element_at("lons", -1))
         & (F.element_at("lats", 1) == F.element_at("lats", -1))
     )
-    return polygons.withColumn(
+    stripped = polygons.withColumn(
         "lons",
         F.when(closed, F.expr("slice(lons, 1, size(lons) - 1)")).otherwise(
             F.col("lons")
@@ -190,6 +204,9 @@ def _strip_closed_ring(polygons: DataFrame) -> DataFrame:
             F.col("lats")
         ),
     )
+    from osm2shp_spark.operators._parallel import collapse_barrier
+
+    return collapse_barrier(stripped)
 
 
 def _refine_candidates_jvm(cand: DataFrame, out_cols: list[str]) -> DataFrame:
