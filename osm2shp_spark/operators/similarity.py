@@ -635,6 +635,12 @@ def embedding_near_dups(
     # (id, vec, norm) projection — broadcast here, plain shuffled
     # joins at planet scale; either way the heavy bytes move once per
     # distinct pair side, not once per band collision.
+    from osm2shp_spark.operators._parallel import ensure_min_parallelism
+
+    # hyperplane banding + the fold-dot verify are heavy per-row
+    # chains that fuse with the corpus scan — spread a 1-split scan
+    # first (r6, guide §2.5)
+    corpus = ensure_min_parallelism(corpus)
     vecs = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

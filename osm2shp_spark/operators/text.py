@@ -308,8 +308,13 @@ def winnow_fingerprints_portable(
         f"j -> IF(element_at(_kg, j) = element_at(_mins, i), j, 0))))), "
         f"p -> element_at(_kg, p))) END"
     )
+    from osm2shp_spark.operators._parallel import ensure_min_parallelism
+
+    # one interpreted md5 per character position per doc — heavy
+    # per-row work that fuses with the doc scan, so spread a 1-split
+    # scan first (r6, guide §2.5)
     return (
-        docs.select(
+        ensure_min_parallelism(docs).select(
             "doc_id",
             F.expr(
                 r"trim(regexp_replace(lower(text), '\\s+', ' '))"
