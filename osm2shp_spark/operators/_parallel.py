@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def collapse_barrier(df: DataFrame) -> DataFrame:
+def collapse_barrier(df: DataFrame, keep: tuple = ()) -> DataFrame:
     """Projection-collapse / predicate-pushdown boundary with no
     shuffle: re-emit every column through a single-element ``inline``
     Generate. Downstream expressions then reference plain attributes
@@ -33,12 +33,26 @@ def collapse_barrier(df: DataFrame) -> DataFrame:
     execution before the interpreted fallback), and expensive
     predicates being substituted+pushed into a single-task scan stage.
     Costs one struct per row; safe at any scale.
+
+    ``keep``: columns passed through OUTSIDE the Generate. A Generate
+    output is a fresh attribute, so any hash partitioning established
+    on the original column is no longer recognized downstream — keeping
+    a join/group key out of the struct preserves partitioning reuse
+    (measured: way_assembly's reassembly aggregate re-uses the
+    ways-build exchange again, 3 Exchanges -> 2, ~0.1 s). Predicates
+    referencing ONLY kept columns can still push below the barrier —
+    keep keys, not the expensive derived columns.
     """
     from pyspark.sql import functions as F
 
-    return df.select(
-        F.inline(F.array(F.struct(*[F.col(c) for c in df.columns])))
+    keepc = [c for c in df.columns if c in keep]
+    rest = [c for c in df.columns if c not in keep]
+    if not rest:
+        return df
+    out = df.select(
+        *keepc, F.inline(F.array(F.struct(*[F.col(c) for c in rest])))
     )
+    return out.select(*df.columns)
 
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:

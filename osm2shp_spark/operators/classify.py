@@ -72,7 +72,10 @@ def classify_ways(
     from osm2shp_spark.operators._parallel import collapse_barrier
 
     if defer_filters:
-        ways = collapse_barrier(ways)
+        # keep the way id outside the struct: it is the downstream
+        # group/join key, and keeping it preserves partitioning reuse
+        # (one fewer exchange in the assembly reduce stage)
+        ways = collapse_barrier(ways, keep=("id",))
     out = (
         ways.withColumn("kind", F.expr(way_kind_sql()))
         .withColumn("n_refs", F.size(refs_col))
@@ -85,7 +88,7 @@ def classify_ways(
         # every downstream consumer (the pair-index coding, pushed
         # kind filters), and in deeper pipelines (polylines) the
         # re-multiplied towers are what crossed 64 KB
-        out = collapse_barrier(out)
+        out = collapse_barrier(out, keep=("id",))
     return out
 
 

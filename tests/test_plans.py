@@ -231,3 +231,48 @@ def test_corpus_curation_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_defer_filters_keeps_classification_off_the_scan(spark):
+    """r6: with ``defer_filters`` the classification predicates must
+    NOT be extracted and pushed to the base-table scan (where the
+    optimizer re-expands them into a per-base-row boolean tower on a
+    possibly 1-split, single-task stage). The scan node's DataFilters
+    carried the expanded ``CASE WHEN ... THEN true`` tower before the
+    fix."""
+    df = assemble_ways(
+        synthetic_nodes(spark, SF_SMALL),
+        synthetic_ways(spark, SF_SMALL),
+        defer_filters=True,
+    )
+    p = _plan(df)
+    assert "DataFilters: [CASE WHEN" not in p
+    # the collapse barriers are single-element inline Generates
+    assert "inline(array(struct" in p
+
+
+def test_defer_filters_default_still_pushes(spark):
+    """The default (parquet-shaped inputs) must keep pushdown — the
+    barrier is opt-in, not a blanket pessimization."""
+    df = assemble_ways(
+        synthetic_nodes(spark, SF_SMALL), synthetic_ways(spark, SF_SMALL)
+    )
+    p = _plan(df)
+    assert "inline(array(struct" not in p
+
+
+def test_pip_dimension_side_has_collapse_barrier(spark):
+    """r6: the polygon dimension side materializes the stripped rings
+    through an inline Generate so the 16-probe rect test + edge
+    rotation reference attributes instead of re-inlining the strip
+    CASE (which blew past janino's 64 KB limit and paid a doomed
+    compile on every execution)."""
+    imgs = synthetic_images(spark, SF_SMALL).select("image_id", "lon", "lat")
+    rects = synthetic_rects(spark, SF_SMALL).select(
+        "rect_id",
+        "layer",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min", "lon_min").alias("lons"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max", "lat_min").alias("lats"),
+    )
+    p = _plan(pip_join(imgs, rects, ("image_id",), ("rect_id", "layer")))
+    assert "inline(array(struct" in p
